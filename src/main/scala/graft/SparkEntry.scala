@@ -1,13 +1,485 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Engine
+import graft.operators.Relational
+import graft.prepare.Prepare
+import graft.schema.{DirCatalog, PreparedCatalog}
+import graft.sources.CsvSource
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` on the same
+  * parquet tables.
+  *
+  * Conventions shared by every entry and its oracle (driver hashing is
+  * column-name-sorted and exact-value, so both sides must agree):
+  *  - every DoubleType output column is round(x, 4) on BOTH sides, because
+  *    Spark and DuckDB legitimately sum floating point in different orders;
+  *  - output columns use parquet-safe snake_case aliases (the DSL's
+  *    internal `sum(value)` naming is renamed at the boundary);
+  *  - derived time columns: day = CAST(ts AS DATE), week = Monday truncate,
+  *    hour = hour truncate, minute = 'yyyy-MM-dd HH:mm' string.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- utils
+
+  /** Round all double columns to 4dp (both sides of the compare do this). */
+  private def round4(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType => round(col(s"`${f.name}`"), 4).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq: _*)
+
+  /** Run a DSL query through the scan-path engine over `<dir>/<table>.parquet`
+    * tables, then rename to parquet-safe aliases and round doubles. */
+  private def dsl(json: String, renames: (String, String)*)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val df = Engine.forDir(s, dir).executeJson(json)
+      round4(renames.foldLeft(df) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to)
+      })
+    }
+
+  /** Engine over a prepared (partitioned + rollups) layout, built once per
+    * sf dir under target/prepared — exercises Prepare, PreparedCatalog and
+    * the aggregate router. */
+  private val preparedRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def preparedEngine(s: SparkSession, sfDir: String): Engine = {
+    val root = preparedRoots.getOrElseUpdate(sfDir, this.synchronized {
+      val name = new java.io.File(sfDir).getName
+      val r = s"/root/repo/target/prepared/$name"
+      if (!new java.io.File(s"$r/_PREPARED").exists()) {
+        Prepare.run(s, graft.sources.ParquetNanos.read(s, s"$sfDir/events.parquet"), r)
+        new java.io.File(s"$r/_PREPARED").createNewFile()
+      }
+      r
+    })
+    new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates())
+  }
+
+  private def dslPrepared(json: String, renames: (String, String)*)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val df = preparedEngine(s, dir).executeJson(json)
+      round4(renames.foldLeft(df) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to)
+      })
+    }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    DirCatalog(dir).table(s, "events")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.ParquetNanos.read(s, s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- R1-R16: the reference DSL surface (SURVEY §2.2), via the JSON
+    // ---- DSL -> IR -> Compiler path on the harness events table.
+
+    "r1_projection" -> dsl(
+      """{"select":["event_id","event_type","value"],"from":"events"}"""),
+
+    "r2_filter_eq" -> dsl(
+      """{"select":["day",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"click"}],
+         "group_by":["day"]}""",
+      "count(*)" -> "cnt"),
+
+    "r3_filter_neq" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"neq","val":"view"}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
+    "r4_filter_in" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"in","val":["click","purchase"]}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
+    "r5_filter_between" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
+         "where":[{"col":"value","op":"between","val":[10.5,90.25]}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt", "sum(value)" -> "sum_value"),
+
+    "r5_filter_between_date" -> dsl(
+      """{"select":["week",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"day","op":"between","val":["2024-01-10","2024-01-20"]}],
+         "group_by":["week"]}""",
+      "count(*)" -> "cnt"),
+
+    "r6_filter_cmp" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"value","op":"gt","val":50},
+                  {"col":"value","op":"lte","val":150},
+                  {"col":"user_id","op":"gte","val":5},
+                  {"col":"user_id","op":"lt","val":900}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
+    "r7_filter_and_global" -> dsl(
+      """{"select":[{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"},
+                  {"col":"value","op":"gt","val":100}]}""",
+      "count(*)" -> "cnt"),
+
+    "r9_agg_sum" -> dsl(
+      """{"select":["event_type",{"SUM":"value"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "sum(value)" -> "sum_value"),
+
+    "r10_agg_avg" -> dsl(
+      """{"select":["event_type",{"AVG":"value"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "avg(value)" -> "avg_value"),
+
+    "r11_agg_count_star" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
+    "r12_agg_count_col" -> dsl(
+      """{"select":["event_type",{"COUNT":"value"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "count(value)" -> "cnt_value"),
+
+    "ext_agg_min_max" -> dsl(
+      """{"select":["event_type",{"MIN":"value"},{"MAX":"value"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "min(value)" -> "min_value", "max(value)" -> "max_value"),
+
+    // multi-key ORDER BY as ONE sort (reference bug §4.3 #4 fixed), with
+    // case-insensitive resolution of "COUNT(*)" -> "count(*)"
+    "r13_order_multi" -> dsl(
+      """{"select":["event_type","day",{"COUNT":"*"}],"from":"events",
+         "group_by":["event_type","day"],
+         "order_by":[{"col":"event_type","dir":"asc"},
+                     {"col":"COUNT(*)","dir":"desc"},
+                     {"col":"day","dir":"asc"}]}""",
+      "count(*)" -> "cnt"),
+
+    "r14_limit" -> dsl(
+      """{"select":["event_id","user_id"],"from":"events",
+         "order_by":[{"col":"event_id","dir":"asc"}],"limit":100}"""),
+
+    // global aggregation with no GROUP BY (reference bug §4.3 #5 fixed)
+    "ext_global_agg" -> dsl(
+      """{"select":[{"COUNT":"*"},{"SUM":"value"},{"AVG":"value"},
+                    {"MIN":"value"},{"MAX":"value"}],"from":"events"}""",
+      "count(*)" -> "cnt", "sum(value)" -> "sum_value",
+      "avg(value)" -> "avg_value", "min(value)" -> "min_value",
+      "max(value)" -> "max_value"),
+
+    // ---- derived time columns (SURVEY §1.3)
+
+    "derived_hour" -> dsl(
+      """{"select":["hour",{"COUNT":"*"}],"from":"events","group_by":["hour"]}""",
+      "count(*)" -> "cnt"),
+
+    "derived_minute" -> dsl(
+      """{"select":["minute",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"day","op":"eq","val":"2024-01-15"}],
+         "group_by":["minute"],
+         "order_by":[{"col":"minute","dir":"asc"}]}""",
+      "sum(value)" -> "sum_value"),
+
+    // ---- S1/S2: CSV sources (SURVEY §2.1). Roundtrip events through CSV
+    // ---- (microsecond-preserving format) and aggregate.
+
+    "s1_csv_strict" -> ((s, dir) => csvRoundtrip(s, dir, permissive = false)),
+    "s2_csv_permissive" -> ((s, dir) => csvRoundtrip(s, dir, permissive = true)),
+
+    // ---- S3/S4 + routing: prepared layout (partitionBy(type,day) ZSTD
+    // ---- parquet + rollup tables), aggregate router with containment
+    // ---- proof, re-aggregation (R15), partition-pruned scans.
+
+    // routed: coarser re-aggregation over agg_type_day_value incl. AVG
+    // decomposed as sum/cnt (R15 generalized)
+    "route_reagg_type" -> dslPrepared(
+      """{"select":["event_type",{"SUM":"value"},{"AVG":"value"},{"COUNT":"*"}],
+         "from":"events","group_by":["event_type"]}""",
+      "sum(value)" -> "sum_value", "avg(value)" -> "avg_value",
+      "count(*)" -> "cnt"),
+
+    // routed with residual conditions on rollup keys (containment §4.3 #2-3)
+    "route_residual_filters" -> dslPrepared(
+      """{"select":["day",{"SUM":"value"},{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"},
+                  {"col":"day","op":"between","val":["2024-01-05","2024-01-25"]}],
+         "group_by":["day"]}""",
+      "sum(value)" -> "sum_value", "count(*)" -> "cnt"),
+
+    "route_user_type" -> dslPrepared(
+      """{"select":["user_id",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
+         "group_by":["user_id"]}""",
+      "count(*)" -> "cnt", "sum(value)" -> "sum_value"),
+
+    "route_minute_rollup" -> dslPrepared(
+      """{"select":["minute",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"day","op":"eq","val":"2024-01-15"}],
+         "group_by":["minute"]}""",
+      "sum(value)" -> "sum_value"),
+
+    // scan fallback on the partitioned layout: projection can't route,
+    // eq filters on (event_type, day) prune partitions (explain shows
+    // PartitionFilters)
+    "scan_partition_pruned" -> dslPrepared(
+      """{"select":["event_id","value"],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"},
+                  {"col":"day","op":"eq","val":"2024-01-15"}]}"""),
+
+    // ---- P11/S7: dataset statistics
+
+    "p11_stats" -> ((s, dir) => {
+      val eng = preparedEngine(s, dir)
+      eng.catalog.table(s, "stats").filter(col("key") =!= "approx_users")
+    }),
+
+    // ---- extensions: TPC-H-style relational coverage (joins, top-k,
+    // ---- windows, distinct, set ops) — absent from the reference
+    // ---- (SURVEY §2.4) but required of a complete engine.
+
+    "tpch_q1" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      round4(li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+    }),
+
+    "join_broadcast_dim" -> ((s, dir) => {
+      val joined = Relational.broadcastDimJoin(
+        tbl(s, dir, "orders"), tbl(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"))
+      round4(joined.groupBy(col("c_mktsegment")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice")).as("sum_price")))
+    }),
+
+    "join_shuffle_fact" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      val joined = Relational.shuffleJoin(li, tbl(s, dir, "orders"), Seq("o_orderkey"))
+      round4(joined.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")))
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      Relational.semiJoin(c, tbl(s, dir, "orders"), Seq("o_custkey"))
+        .select(col("o_custkey").as("c_custkey"))
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      Relational.antiJoin(c, tbl(s, dir, "orders"), Seq("o_custkey"))
+        .select(col("o_custkey").as("c_custkey"))
+    }),
+
+    "ext_topk" -> ((s, dir) =>
+      round4(Relational.topK(tbl(s, dir, "orders"), 10,
+          ("o_totalprice", true), ("o_orderkey", false))
+        .select(col("o_orderkey"), col("o_totalprice")))),
+
+    "ext_window_topk_per_group" -> ((s, dir) =>
+      Relational.topKPerGroup(tbl(s, dir, "orders"),
+          Seq("o_orderpriority"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"))),
+
+    "ext_window_rank" -> ((s, dir) =>
+      Relational.rankInGroups(tbl(s, dir, "orders"),
+          Seq("o_orderpriority"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), "rn")
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rn"))),
+
+    "ext_distinct" -> ((s, dir) =>
+      events(s, dir).select(col("event_type")).distinct()),
+
+    "ext_count_distinct" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"))),
+
+    "ext_union" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .union(e.filter(col("event_type") === "error").select(col("user_id")))
+        .distinct()
+    }),
+
+    "ext_intersect" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "error").select(col("user_id")))
+    }),
+
+    "ext_except" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .except(e.filter(col("event_type") === "signup").select(col("user_id")))
+    }),
+
+    // approximate distinct (HLL) — no DuckDB-equivalent result; rows-only
+    "ext_approx_distinct" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")))
+  )
+
+  /** CSV roundtrip helper for s1/s2: parquet events -> CSV (microsecond
+    * timestamps preserved) -> read via [[CsvSource]] -> aggregate. */
+  private def csvRoundtrip(s: SparkSession, dir: String,
+                           permissive: Boolean): DataFrame = {
+    val src = tbl(s, dir, "events").drop("props")
+    val name = new java.io.File(dir).getName
+    val csvDir = s"/root/repo/target/tmp/events_csv_$name"
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+      src.write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(csvDir)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val read0 =
+      if (permissive) CsvSource.readPermissive(s, s"$csvDir/*.csv", schema)
+      else s.read.schema(schema).option("header", "true")
+        .option("timestampFormat", tsFmt).option("nullValue", "null")
+        .csv(s"$csvDir/*.csv")
+    val read = graft.schema.EventTime.withDerived(read0)
+    round4(read.groupBy(col("day")).agg(
+      count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  /** Derived-column SQL fragments (DuckDB). */
+  private val dayE = "CAST(ts AS DATE)"
+  private val weekE = "CAST(date_trunc('week', ts) AS DATE)"
+  private val hourE = "date_trunc('hour', ts)"
+  private val minuteE = "strftime(ts, '%Y-%m-%d %H:%M')"
+
+  def oracleSql: Map[String, String] = Map(
+    "r1_projection" ->
+      "SELECT event_id, event_type, round(value,4) AS value FROM events",
+    "r2_filter_eq" ->
+      s"SELECT $dayE AS day, count(*) AS cnt FROM events WHERE event_type = 'click' GROUP BY 1",
+    "r3_filter_neq" ->
+      "SELECT event_type, count(*) AS cnt FROM events WHERE event_type <> 'view' GROUP BY 1",
+    "r4_filter_in" ->
+      "SELECT event_type, count(*) AS cnt FROM events WHERE event_type IN ('click','purchase') GROUP BY 1",
+    "r5_filter_between" ->
+      "SELECT event_type, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events WHERE value BETWEEN 10.5 AND 90.25 GROUP BY 1",
+    "r5_filter_between_date" ->
+      s"SELECT $weekE AS week, count(*) AS cnt FROM events WHERE $dayE BETWEEN DATE '2024-01-10' AND DATE '2024-01-20' GROUP BY 1",
+    "r6_filter_cmp" ->
+      "SELECT event_type, count(*) AS cnt FROM events WHERE value > 50 AND value <= 150 AND user_id >= 5 AND user_id < 900 GROUP BY 1",
+    "r7_filter_and_global" ->
+      "SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 100",
+    "r9_agg_sum" ->
+      "SELECT event_type, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "r10_agg_avg" ->
+      "SELECT event_type, round(avg(value),4) AS avg_value FROM events GROUP BY 1",
+    "r11_agg_count_star" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
+    "r12_agg_count_col" ->
+      "SELECT event_type, count(value) AS cnt_value FROM events GROUP BY 1",
+    "ext_agg_min_max" ->
+      "SELECT event_type, round(min(value),4) AS min_value, round(max(value),4) AS max_value FROM events GROUP BY 1",
+    "r13_order_multi" ->
+      s"SELECT event_type, $dayE AS day, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY event_type ASC, cnt DESC, day ASC",
+    "r14_limit" ->
+      "SELECT event_id, user_id FROM events ORDER BY event_id ASC LIMIT 100",
+    "ext_global_agg" ->
+      "SELECT count(*) AS cnt, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value, round(min(value),4) AS min_value, round(max(value),4) AS max_value FROM events",
+    "derived_hour" ->
+      s"SELECT $hourE AS hour, count(*) AS cnt FROM events GROUP BY 1",
+    "derived_minute" ->
+      s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1 ORDER BY 1 ASC",
+    "s1_csv_strict" ->
+      s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "s2_csv_permissive" ->
+      s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "route_reagg_type" ->
+      "SELECT event_type, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value, count(*) AS cnt FROM events GROUP BY 1",
+    "route_residual_filters" ->
+      s"SELECT $dayE AS day, round(sum(value),4) AS sum_value, count(*) AS cnt FROM events WHERE event_type = 'purchase' AND $dayE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25' GROUP BY 1",
+    "route_user_type" ->
+      "SELECT user_id, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "route_minute_rollup" ->
+      s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1",
+    "scan_partition_pruned" ->
+      s"SELECT event_id, round(value,4) AS value FROM events WHERE event_type = 'purchase' AND $dayE = DATE '2024-01-15'",
+    "p11_stats" ->
+      ("SELECT 'total_rows' AS key, CAST(count(*) AS VARCHAR) AS value FROM events " +
+       s"UNION ALL SELECT 'min_day', CAST(min($dayE) AS VARCHAR) FROM events " +
+       s"UNION ALL SELECT 'max_day', CAST(max($dayE) AS VARCHAR) FROM events " +
+       "UNION ALL SELECT 'rows_' || event_type, CAST(count(*) AS VARCHAR) FROM events GROUP BY event_type"),
+    "tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, " +
+       "round(sum(l_extendedprice),4) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)),4) AS sum_disc_price, " +
+       "round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
+       "round(avg(l_discount),4) AS avg_disc, count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "join_broadcast_dim" ->
+      ("SELECT c.c_mktsegment, count(*) AS cnt, round(sum(o.o_totalprice),4) AS sum_price " +
+       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"),
+    "join_shuffle_fact" ->
+      ("SELECT o.o_orderpriority, count(*) AS cnt, " +
+       "round(sum(l.l_extendedprice * (1 - l.l_discount)),4) AS revenue " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1"),
+    "join_semi" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "join_anti" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "ext_topk" ->
+      "SELECT o_orderkey, round(o_totalprice,4) AS o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "ext_window_topk_per_group" ->
+      ("SELECT o_orderpriority, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) WHERE rn <= 3"),
+    "ext_window_rank" ->
+      ("SELECT o_orderpriority, o_orderkey, rn FROM (SELECT o_orderpriority, o_orderkey, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) WHERE rn <= 5"),
+    "ext_distinct" ->
+      "SELECT DISTINCT event_type FROM events",
+    "ext_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+    "ext_union" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
+       "UNION SELECT user_id FROM events WHERE event_type = 'error'"),
+    "ext_intersect" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
+       "INTERSECT SELECT user_id FROM events WHERE event_type = 'error'"),
+    "ext_except" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
+       "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup'")
+    // ext_approx_distinct: intentionally no oracle (approximate result)
+  )
 }

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dsl.{QueryIR, QueryJson}
+import graft.dsl.QueryIR.Query
+import graft.schema.Catalog
+
+/** The run-phase engine: JSON DSL in, DataFrame out.
+  *
+  * Execution strategy, in order (mirrors query_engine.py:33-61 with the
+  * containment bugs fixed):
+  *  1. result-cache probe (canonical query key);
+  *  2. materialized-aggregate routing — first [[AggTableDef]] whose
+  *     containment proof succeeds answers from the (small, cached) rollup;
+  *  3. fall back to a full declarative plan over the fact table, which
+  *     Catalyst prunes/pushes/codegens.
+  *
+  * One Engine per long-lived SparkSession; stateless apart from the caches,
+  * safe to share across threads.
+  */
+final class Engine(
+    val spark: SparkSession,
+    val catalog: Catalog,
+    val aggregates: Seq[AggTableDef] = Nil,
+    cacheResults: Boolean = true) {
+
+  val cache = new ResultCache()
+
+  /** Which path executed the last query — exposed for tests/inspection. */
+  sealed trait Route
+  case object CacheHit extends Route
+  final case class Routed(table: String) extends Route
+  case object Scanned extends Route
+  @volatile var lastRoute: Route = Scanned
+
+  def execute(q: Query): DataFrame = {
+    val key = q.canonicalKey
+    if (cacheResults) {
+      cache.get(spark, key) match {
+        case Some(hit) => lastRoute = CacheHit; return hit
+        case None => ()
+      }
+    }
+    val routed = aggregates.iterator
+      .flatMap(d => AggregateRouter.matches(q, d).map(res => (d, res)))
+      .nextOption()
+    val df = routed match {
+      case Some((d, residual)) =>
+        lastRoute = Routed(d.name)
+        AggregateRouter.execute(spark, q, d, residual, catalog)
+      case None =>
+        lastRoute = Scanned
+        Compiler.compile(spark, q, catalog)
+    }
+    if (cacheResults) cache.put(spark, key, df) else df
+  }
+
+  def executeJson(json: String): DataFrame = execute(QueryJson.parse(json))
+
+  /** Run a JSON array of queries (the main.py submission contract),
+    * writing one CSV per query: q1.csv, q2.csv, ... (main.py:51-56). */
+  def runBatch(queriesJson: String, outDir: String): Seq[DataFrame] = {
+    val qs = QueryJson.parseMany(queriesJson)
+    new java.io.File(outDir).mkdirs()
+    qs.zipWithIndex.map { case (q, i) =>
+      val df = execute(q)
+      val rows = df.collect()
+      val out = new java.io.PrintWriter(s"$outDir/q${i + 1}.csv", "UTF-8")
+      try {
+        out.println(df.columns.mkString(","))
+        rows.foreach { r =>
+          out.println(r.toSeq.map {
+            case null => ""
+            case v => v.toString
+          }.mkString(","))
+        }
+      } finally out.close()
+      df
+    }
+  }
+}
+
+object Engine {
+  /** Convenience: engine over a plain directory of parquet tables. */
+  def forDir(spark: SparkSession, dir: String): Engine =
+    new Engine(spark, graft.schema.DirCatalog(dir))
+}

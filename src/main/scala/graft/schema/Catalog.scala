@@ -1,0 +1,91 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table resolution for the engine.
+  *
+  * The reference has exactly one logical table, `events` (claude.md:107);
+  * this catalog generalizes to any directory of `<name>.parquet` tables
+  * (the harness layout, TESTDATA.md) or a prepared partitioned layout
+  * ([[graft.prepare.Prepare]]). Tables with an event-time column get the
+  * four derived time columns of the reference DSL (claude.md:143) attached
+  * lazily — Catalyst's ColumnPruning drops them from the plan when unused,
+  * so attaching them costs nothing at scan time.
+  */
+object EventTime {
+
+  /** Derived time columns over an event-time column `ts`
+    * (reference: prepare_optimized.py:58-65):
+    *   day    = date of ts            (DateType)
+    *   week   = Monday-start truncate (DateType)
+    *   hour   = hour truncate         (TimestampType)
+    *   minute = "yyyy-MM-dd HH:mm"    (StringType — sorts chronologically)
+    *
+    * The reference stores ts as epoch millis (claude.md:60); the harness
+    * events table stores a native timestamp. Both are handled.
+    */
+  def withDerived(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    if (!df.columns.contains(tsCol)) return df
+    val tsDt = df.schema(tsCol).dataType match {
+      case _: LongType | _: IntegerType => timestamp_millis(col(tsCol))
+      case _: TimestampType => col(tsCol)
+      case _: DateType => col(tsCol).cast(TimestampType)
+      case other =>
+        throw new IllegalArgumentException(s"cannot derive time from $other")
+    }
+    val existing = df.columns.toSet
+    var out = df
+    if (!existing("day"))    out = out.withColumn("day", to_date(tsDt))
+    if (!existing("week"))   out = out.withColumn("week", date_trunc("week", tsDt).cast(DateType))
+    if (!existing("hour"))   out = out.withColumn("hour", date_trunc("hour", tsDt))
+    if (!existing("minute")) out = out.withColumn("minute", date_format(tsDt, "yyyy-MM-dd HH:mm"))
+    out
+  }
+}
+
+/** Maps a table name to a DataFrame. */
+trait Catalog {
+  def table(spark: SparkSession, name: String): DataFrame
+}
+
+/** Reads `<dir>/<name>.parquet` (one file or directory per table — the
+  * harness layout and the natural lakehouse layout at scale: Spark's
+  * PartitioningAwareFileIndex handles both transparently).
+  */
+final case class DirCatalog(dir: String) extends Catalog {
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val df = graft.sources.ParquetNanos.read(spark, s"$dir/$name.parquet")
+    EventTime.withDerived(df)
+  }
+}
+
+/** Catalog over a prepared layout (hive-partitioned events + aggregate
+  * tables, see [[graft.prepare.Prepare]]): `<root>/events/` partitioned by
+  * (event_type, day), `<root>/aggregates/<name>/`. Aggregate tables are
+  * small by construction and cached on first read (the reference memoizes
+  * identically, query_engine.py:526-532).
+  */
+final case class PreparedCatalog(root: String) extends Catalog {
+  import scala.collection.concurrent.TrieMap
+  private val aggCache = TrieMap.empty[String, DataFrame]
+
+  def table(spark: SparkSession, name: String): DataFrame = name match {
+    case "events" =>
+      // partition columns (event_type, day) come back from directory
+      // discovery; re-derive the remaining time columns from ts.
+      EventTime.withDerived(spark.read.parquet(s"$root/events"))
+    case "stats" =>
+      spark.read.parquet(s"$root/stats")
+    case agg =>
+      aggCache.getOrElseUpdate(agg, {
+        val df = spark.read.parquet(s"$root/aggregates/$agg")
+        df.cache()
+        df
+      })
+  }
+
+  def hasAggregate(name: String): Boolean =
+    new java.io.File(s"$root/aggregates/$name").exists()
+}

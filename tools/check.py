@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped library is pure Scala; this script is for the build loop).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+  1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run;
+  2. registers each <sfdir>/<table>.parquet as a DuckDB view;
+  3. runs every query in <outdir>/oracle_sql.json;
+  4. compares against <outdir>/<name>/ parquet: columns sorted by name,
+     rows sorted, exact value equality.
+"""
+import json, sys, glob, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                row.append("%.10g" % v)
+            elif v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append("NULL")
+            else:
+                row.append(str(v))
+        rows.append("\x1f".join(row))
+    rows.sort()
+    return cols, rows
+
+fails = []
+import os
+spark_names = sorted(
+    d for d in os.listdir(outdir)
+    if os.path.isdir(os.path.join(outdir, d)))
+for name in spark_names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output parquet"))
+        continue
+    sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    if name not in oracle:
+        status = "rows-only"
+        ok = len(sdf) >= 0
+        print(f"  {name:28s} {'OK' if ok else 'FAIL'} ({len(sdf)} rows, {status})")
+        continue
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    scols, srows = canon(sdf)
+    ocols, orows = canon(odf)
+    if scols != ocols:
+        fails.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
+        continue
+    if len(srows) != len(orows):
+        fails.append((name, f"row count: spark={len(srows)} oracle={len(orows)}"))
+        continue
+    if srows != orows:
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+        fails.append((name, f"value mismatch, first diffs: {bad}"))
+        continue
+    print(f"  {name:28s} OK ({len(srows)} rows)")
+
+missing = sorted(set(oracle) - set(spark_names))
+for name in missing:
+    fails.append((name, "oracle declared but no spark output"))
+
+print()
+if fails:
+    print(f"FAILED {len(fails)}:")
+    for n, msg in fails:
+        print(f"  {n}: {msg[:500]}")
+    sys.exit(1)
+print(f"ALL {len(spark_names)} queries passed")
