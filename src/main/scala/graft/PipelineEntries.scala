@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
+
+/** Training-data pipeline operator entries (dedup, similarity search,
+  * text analysis, multimodal, sessionization, streaming) and their DuckDB
+  * oracles. Merged into [[SparkEntry.queries]].
+  *
+  * Oracle notes:
+  *  - DuckDB `regexp_replace` needs the 'g' flag to mean replace-all
+  *    (Spark replaces all by default);
+  *  - everything arithmetic is stated in the same operation order on both
+  *    sides so doubles match bit-for-bit before the final round(.,4);
+  *  - LSH-based ops (minhash/simhash/ann_lsh) are deliberately NOT
+  *    oracled: their output is exact-but-approximate-recall, which SQL
+  *    cannot restate faithfully — the ScalaTest suite pins them against
+  *    the exact-pairs ground truth instead.
+  */
+object PipelineEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetNanos.read(s, s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.schema.DirCatalog(dir).table(s, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------ text analysis
+
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+
+    // rolling-hash winnowing sketch — no SQL equivalent, rows-only
+    "text_winnowing" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.winnowingFingerprint(col("text"))).cast(LongType)
+          .as("n_sketch"),
+        array_min(TextAnalysis.winnowingFingerprint(col("text"))).as("sketch_min"))),
+
+    // -------------------------------------------------------------- dedup
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    // MinHash banding has probabilistic recall — pinned by tests, rows-only
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 2, threshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.3)),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)),
+
+    // -------------------------------------------------- similarity search
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numPlanes = 6)
+    }),
+
+    // --------------------------------------------------------- multimodal
+
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(docs(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"))),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))),
+
+    "mm_chunks" -> ((s, dir) =>
+      Multimodal.sampleChunks(
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("n_chunks").cast(LongType).as("n_chunks"),
+          size(col("kept_chunks")).cast(LongType).as("n_kept"))),
+
+    // ------------------------------------------------------ sessionization
+
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessions(events(s, dir), "user_id", "ts", 30)),
+
+    // ---------------------------------------------------------- streaming
+
+    "stream_window_agg" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // the file-stream source requires a directory; stage the single
+      // parquet file into one (once per sf dir)
+      val name0 = new java.io.File(dir).getName
+      val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream_$name0")
+      if (!new java.io.File(streamDir, "events.parquet").exists()) {
+        streamDir.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$streamDir/events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val stream = StreamOps.parquetStream(s, streamDir.toString,
+        schema, nanosCols = Set("ts"))
+      val agg = StreamOps.windowedAgg(stream)
+      val name = "win_" + java.lang.Integer.toHexString(dir.hashCode)
+      val out = StreamOps.runToMemory(s, agg, name)
+      out.select(col("window_start"), col("event_type"), col("cnt"),
+        round(col("sum_value"), 4).as("sum_value"))
+    })
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  /** Shared SQL fragments (DuckDB). */
+  private val toksE =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+  private val padE = "(' ' || lower(text) || ' ')"
+  private def occ(w: String): String =
+    s"CAST((length($padE) - length(replace($padE, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+  private def langScore(ws: Seq[String]): String = ws.map(occ).mkString(" + ")
+  private val normE = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_token_count" ->
+      s"""SELECT doc_id, CAST(len($toksE) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform($toksE,
+            w -> greatest(1, CAST(ceil(length(w) / 6.0) AS BIGINT)))), 0) AS BIGINT)
+            AS n_tokens_bpe
+          FROM documents""",
+
+    "text_quality" -> {
+      val stopHits = langScore(Seq("the", "and", "of", "to", "in", "is", "that"))
+      s"""SELECT doc_id, round(
+            0.4 * least((CASE WHEN CAST(len($toksE) AS DOUBLE) > 0
+                THEN CAST($stopHits AS DOUBLE) / CAST(len($toksE) AS DOUBLE)
+                ELSE 0.0 END) * 4.0, 1.0)
+          + 0.3 * least(CAST(len($toksE) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * (1.0 - least((CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END) * 5.0, 1.0)), 4) AS quality
+          FROM documents"""
+    },
+
+    "text_langid" -> {
+      val de = langScore(Seq("der", "und", "die", "nicht", "das"))
+      val en = langScore(Seq("the", "and", "of", "is", "that"))
+      val es = langScore(Seq("el", "los", "que", "y", "las"))
+      val fr = langScore(Seq("le", "la", "et", "les", "des"))
+      s"""WITH sc AS (
+            SELECT doc_id,
+              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+              $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+            FROM documents)
+          SELECT doc_id, CASE
+            WHEN cjk > 10 THEN 'zh'
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+          FROM sc"""
+    },
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($normE) AS fp FROM documents",
+
+    "dedup_exact" ->
+      s"""SELECT md5($normE) AS fp, min(doc_id) AS keep_id,
+          count(*) AS copies FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.3""",
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.45""",
+
+    "ann_brute_topk" ->
+      """SELECT q_id, rank, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+               c.embedding::DOUBLE[]) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5""",
+
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""",
+
+    "mm_chunks" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+         FROM documents)
+         SELECT doc_id AS media_id, n_chunks,
+           CAST(len(list_filter(generate_series(0, CAST(greatest(n_chunks - 1, 0) AS BIGINT)),
+             i -> i % 4 = 0)) AS BIGINT) AS n_kept
+         FROM m""",
+
+    "sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY 1, 2""",
+
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2"""
+    // text_winnowing, dedup_minhash, dedup_simhash, ann_lsh_topk,
+    // mm_features: rows-only (no faithful SQL restatement exists)
+  )
+}

@@ -86,7 +86,10 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineEntries.queries ++ coreQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- R1-R16: the reference DSL surface (SURVEY §2.2), via the JSON
     // ---- DSL -> IR -> Compiler path on the harness events table.
@@ -383,7 +386,10 @@ object SparkEntry {
   private val hourE = "date_trunc('hour', ts)"
   private val minuteE = "strftime(ts, '%Y-%m-%d %H:%M')"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    PipelineEntries.oracleSql ++ coreOracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "r1_projection" ->
       "SELECT event_id, event_type, round(value,4) AS value FROM events",
     "r2_filter_eq" ->

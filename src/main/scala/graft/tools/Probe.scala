@@ -23,3 +23,25 @@ object Probe {
     spark.stop()
   }
 }
+/** Probe for the Catalyst rewrite: raw spark.sql over the prepared fact
+  * table must scan the rollup instead. */
+object ProbeRewrite {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.preparedEngine(spark, "/root/testdata/sf0.001")
+    val root = "/root/repo/target/prepared/sf0.001"
+    val rule = graft.catalyst.AggRewriteRule.configure(spark, s"$root/events",
+      graft.prepare.Prepare.defaultAggregates(),
+      name => spark.read.parquet(s"$root/aggregates/$name"))
+    spark.read.parquet(s"$root/events").createOrReplaceTempView("events_fact")
+    val df = spark.sql("SELECT event_type, sum(value) s, avg(value) a FROM events_fact GROUP BY event_type ORDER BY event_type")
+    df.show(5, false)
+    println("R1 fired=" + rule.fired)
+    println("R2 plan-scans-rollup=" + df.queryExecution.executedPlan.toString.contains("agg_type_day_value"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dsl.QueryJson
+import graft.engine.{AggregateRouter, AggTableDef, Compiler, Engine}
+import graft.schema.DirCatalog
+
+/** Compiler semantics on crafted data — especially the deliberate
+  * divergences from reference bugs (SURVEY §4.3). */
+class EngineSpec extends SparkSpec {
+  import SparkSpecBase.implicits._
+
+  private lazy val engine = Engine.forDir(spark, sfDir)
+
+  test("count(col) counts non-null only; count(*) counts all") {
+    val df = Seq((1, Some(1.0)), (2, None), (3, Some(3.0)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("t_nulls")
+    val cat = new graft.schema.Catalog {
+      def table(s: org.apache.spark.sql.SparkSession, n: String) = df
+    }
+    val q = QueryJson.parse(
+      """{"select":[{"COUNT":"*"},{"COUNT":"v"}],"from":"t"}""")
+    val r = Compiler.compile(spark, q, cat).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+  }
+
+  test("between is inclusive on both ends") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("x")
+    val cat = new graft.schema.Catalog {
+      def table(s: org.apache.spark.sql.SparkSession, n: String) = df
+    }
+    val q = QueryJson.parse(
+      """{"select":[{"COUNT":"*"}],"from":"t",
+         "where":[{"col":"x","op":"between","val":[2,4]}]}""")
+    assert(Compiler.compile(spark, q, cat).collect()(0).getLong(0) == 3)
+  }
+
+  test("global aggregation without GROUP BY works (ref bug #5)") {
+    val r = engine.executeJson(
+      """{"select":[{"COUNT":"*"},{"AVG":"value"}],"from":"events"}""")
+      .collect()(0)
+    assert(r.getLong(0) == 1000L)
+  }
+
+  test("multi-key ORDER BY is one sort, first key dominates (ref bug #4)") {
+    val rows = engine.executeJson(
+      """{"select":["event_type","day",{"COUNT":"*"}],"from":"events",
+         "group_by":["event_type","day"],
+         "order_by":[{"col":"event_type","dir":"asc"},{"col":"day","dir":"desc"}]}""")
+      .collect()
+    val types = rows.map(_.getString(0)).toSeq
+    assert(types == types.sorted) // primary key respected globally
+    val firstType = rows.takeWhile(_.getString(0) == types.head)
+    val days = firstType.map(_.getDate(1).toString).toSeq
+    assert(days == days.sorted.reverse) // secondary key within primary
+  }
+
+  test("LIMIT is honored (ref bug #6)") {
+    assert(engine.executeJson(
+      """{"select":["event_id"],"from":"events",
+         "order_by":[{"col":"event_id"}],"limit":7}""").count() == 7)
+  }
+
+  test("string literals coerce to date/numeric column types") {
+    val n = engine.executeJson(
+      """{"select":[{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"day","op":"eq","val":"2024-01-15"},
+                  {"col":"user_id","op":"eq","val":"3"}]}""")
+      .collect()(0).getLong(0)
+    val expect = DirCatalog(sfDir).table(spark, "events")
+      .filter(col("day") === "2024-01-15" && col("user_id") === 3).count()
+    assert(n == expect)
+  }
+
+  // ------------------------------------------------------------- routing
+
+  private val rollup = AggTableDef("r", "events", Nil,
+    keys = Seq("event_type", "day"), measures = Seq("value"))
+
+  test("router accepts contained queries and rejects residuals off-key") {
+    def q(json: String) = QueryJson.parse(json)
+    // coarser re-group: accept
+    assert(AggregateRouter.matches(q(
+      """{"select":["event_type",{"SUM":"value"}],"from":"events",
+         "group_by":["event_type"]}"""), rollup).isDefined)
+    // residual filter on a rollup key: accept
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"click"}],
+         "group_by":["day"]}"""), rollup).isDefined)
+    // filter on a NON-key column: must reject (the reference silently
+    // dropped such filters — §4.3 #2)
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"user_id","op":"eq","val":3}],
+         "group_by":["day"]}"""), rollup).isEmpty)
+    // aggregate over a non-measure column: reject
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"user_id"}],"from":"events",
+         "group_by":["day"]}"""), rollup).isEmpty)
+    // grouping key outside the rollup: reject
+    assert(AggregateRouter.matches(q(
+      """{"select":["minute",{"SUM":"value"}],"from":"events",
+         "group_by":["minute"]}"""), rollup).isEmpty)
+  }
+
+  test("routed results equal scanned results (incl. AVG decomposition)") {
+    val eng = SparkEntry.preparedEngine(spark, sfDir)
+    val json =
+      """{"select":["event_type",{"SUM":"value"},{"AVG":"value"},{"COUNT":"*"}],
+         "from":"events","group_by":["event_type"]}"""
+    val routed = eng.executeJson(json)
+    assert(eng.lastRoute.toString.contains("Routed"))
+    val scanned = engine.executeJson(json)
+    val r = routed.orderBy("event_type").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4), r.getLong(3)))
+    val s = scanned.orderBy("event_type").collect().map(r =>
+      (r.getString(0), math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4), r.getLong(3)))
+    assert(r.toSeq == s.toSeq)
+  }
+
+  test("result cache returns identical rows and hits on re-execution") {
+    val e2 = Engine.forDir(spark, sfDir)
+    val json = """{"select":["event_type",{"COUNT":"*"}],"from":"events","group_by":["event_type"]}"""
+    val first = e2.executeJson(json).collect().toSet
+    val h0 = e2.cache.hits
+    val second = e2.executeJson(json).collect().toSet
+    assert(e2.cache.hits == h0 + 1 && first == second)
+  }
+}

