@@ -57,11 +57,10 @@ object PipelineEntries {
 
     // rolling-hash winnowing sketch — no SQL equivalent, rows-only
     "text_winnowing" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        size(TextAnalysis.winnowingFingerprint(col("text"))).cast(LongType)
-          .as("n_sketch"),
-        array_min(TextAnalysis.winnowingFingerprint(col("text"))).as("sketch_min"))),
+      TextAnalysis.winnowingSketch(docs(s, dir), "text", "sketch")
+        .select(col("doc_id"),
+          size(col("sketch")).cast(LongType).as("n_sketch"),
+          array_min(col("sketch")).as("sketch_min"))),
 
     // -------------------------------------------------------------- dedup
 
@@ -79,6 +78,11 @@ object PipelineEntries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.3)),
+
+    // scale path: df-capped candidate blocking, exact verification
+    "dedup_ngram_blocked" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsBlocked(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.3, dfCap = 50)),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
@@ -230,6 +234,33 @@ object PipelineEntries {
              AS jaccard
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.3""",
+
+    "dedup_ngram_blocked" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         dfc AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
+         inv2 AS (SELECT inv.doc_id, inv.g FROM inv JOIN dfc USING (g)
+                  WHERE c BETWEEN 2 AND 50),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id),
+         wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
+                 FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+                             JOIN sh sb ON sb.doc_id = c.b_id)
+         SELECT a_id, b_id,
+           round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+             / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))), 4)
+             AS jaccard
+         FROM wsh
+         WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+             / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= 0.3""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

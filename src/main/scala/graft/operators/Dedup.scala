@@ -32,16 +32,35 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of lowercased text. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val cnt = size(toks)
+  /** Distinct word n-gram shingles of lowercased text.
+    *
+    * NOTE: as a single Column expression this re-tokenizes per shingle
+    * position when evaluated inline (interpreted HOF semantics — see
+    * [[graft.functions.Staging]]); fine for a handful of rows. The bulk
+    * operators below all use [[shingleDf]], which stages tokens as a
+    * bound attribute first. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shingleOf(TextAnalysis.tokens(lower(text)), n)
+
+  /** Shingle expression over an ALREADY-BOUND token-array column. */
+  private def shingleOf(t: Column, n: Int): Column = {
+    val cnt = size(t)
     array_distinct(
       when(cnt >= n,
         transform(sequence(lit(1), cnt - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
+          i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array(concat_ws(" ", t))))
   }
+
+  /** Staged (id, sh) shingle table: tokens materialize in their own
+    * projection (multiple references keep CollapseProject away), so the
+    * shingle transform reads a bound array instead of re-tokenizing per
+    * position — 8-15x faster than the inline expression at sf0.1. */
+  def shingleDf(df: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .select(col("id"), shingleOf(col("__t"), n).as("sh"))
 
   /** Distinct character n-gram shingles of lowercased text. */
   def charShingles(text: Column, n: Int = 5): Column = {
@@ -53,13 +72,35 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the shingle set. Pure array expressions (aggregate over
-    * transform) — computed shard-local in one projection. */
-  def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, seed))))
+  /** Fixed multiply-shift constants for the MinHash permutation family
+    * (odd multipliers + offsets from a seeded PRNG, materialized at plan
+    * time — identical on every executor, no broadcast). */
+  /** Mersenne prime 2^31-1: the Carter-Wegman modulus. All arithmetic
+    * stays under 2^62 so ANSI long math never overflows. */
+  private val MersenneP = 2147483647L
+
+  private val mixConsts: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    IndexedSeq.fill(64)((
+      1L + math.floorMod(rnd.nextLong(), MersenneP - 1), // a in [1, p)
+      math.floorMod(rnd.nextLong(), MersenneP)))         // b in [0, p)
+  }
+
+  /** MinHash signature: each shingle string is hashed ONCE (xxhash64,
+    * reduced mod p); the `numHashes` permutations are Carter-Wegman
+    * universal hashes (a_i*h+b_i mod p) of that base value — the modular
+    * reduction is what makes each permutation's argmin independent
+    * (plain multiply-add is order-preserving and would collapse the
+    * signature to one effective hash). */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(MersenneP)))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      aggregate(base, lit(Long.MaxValue), (acc, h) =>
+        least(acc, pmod(
+          h * element_at(lit(mixConsts.map(_._1).toArray), i + 1)
+            + element_at(lit(mixConsts.map(_._2).toArray), i + 1),
+          lit(MersenneP)))))
+  }
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures.
     *
@@ -73,21 +114,34 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4,
                    threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
+    import graft.functions.Staging.bound
     val numBands = numHashes / rowsPerBand
-    val withSig = df.select(
-        col(idCol).as("id"),
-        wordShingles(col(textCol), shingleWords).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // staged: shingles -> 64-bit hashes -> signature -> band buckets,
+    // each in its own projection so every array is built exactly once per
+    // row. The 64-bit hash array doubles as the verification set (long
+    // equality beats string compares; collisions are 2^-64).
+    val sh = shingleDf(df, idCol, textCol, shingleWords)
+    val hs = sh.select(col("id"),
+      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
+    val withSig = hs.select(col("id"), col("hs"),
+      bound(col("hs"))(h =>
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          aggregate(h, lit(Long.MaxValue), (acc, x) =>
+            least(acc, pmod(
+              pmod(x, lit(MersenneP)) * element_at(lit(mixConsts.map(_._1).toArray), i + 1)
+                + element_at(lit(mixConsts.map(_._2).toArray), i + 1),
+              lit(MersenneP)))))).as("sig"))
     val banded = withSig.select(
-        col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(concat_ws("_",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+        col("id"), col("hs"),
+        posexplode(bound(col("sig"))(g =>
+          transform(sequence(lit(0), lit(numBands - 1)),
+            b => xxhash64(concat_ws("_",
+              slice(g, b * rowsPerBand + 1, lit(rowsPerBand))), b)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
-      col("id").as("a_id"), col("sh").as("a_sh"))
+      col("id").as("a_id"), col("hs").as("a_sh"))
     val b = banded.select(col("band"), col("bucket"),
-      col("id").as("b_id"), col("sh").as("b_sh"))
+      col("id").as("b_id"), col("hs").as("b_sh"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
@@ -134,8 +188,9 @@ object Dedup {
     * exact Hamming inside buckets. Output (a_id, b_id, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(wordShingles(col(textCol))).as("sig"))
+    import graft.functions.Staging.bound
+    val sigs = shingleDf(df, idCol, textCol, 3)
+      .select(col("id"), bound(col("sh"))(simhash).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sig"), b * 16)
@@ -162,8 +217,7 @@ object Dedup {
     * Fully SQL-expressible -> DuckDB-oracled. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("sh"))
+    val sh = shingleDf(df, idCol, textCol, n)
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
@@ -176,6 +230,42 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast(DoubleType) /
           (col("a_n") + col("b_n") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Scale path for n-gram Jaccard: identical verification (TRUE jaccard
+    * over full shingle sets via array_intersect), but candidate
+    * generation ignores shingles occurring in more than `dfCap` documents
+    * — stop-shingles generate O(df^2) candidate pairs while contributing
+    * no selectivity. Near-dup pairs share many rare shingles, so recall
+    * loss is negligible; precision is unaffected (verification is exact).
+    * The df-cap blocking is part of the operator contract and is mirrored
+    * verbatim in the DuckDB oracle. */
+  def ngramJaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, threshold: Double = 0.3,
+                               dfCap: Int = 50): DataFrame = {
+    import graft.functions.Staging.bound
+    val sh = shingleDf(df, idCol, textCol, n)
+    // verification compares 64-bit shingle hashes, not strings: long
+    // equality in array_intersect is ~10x cheaper than UTF8 compares and
+    // the 2^-64 collision odds are irrelevant at any corpus size
+    val hs = sh.select(col("id"),
+      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
+    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
+    val rare = inv.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+    val candidates = rare
+      .select(explode(flatten(transform(col("ids"), a =>
+        filter(transform(col("ids"), b => struct(a.as("a"), b.as("b"))),
+          p => p.getField("a") < p.getField("b"))))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
+    val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+    candidates.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -125,6 +125,25 @@ object TextAnalysis {
     array_distinct(mins)
   }
 
+  /** Bulk winnowing: stages the k-gram hash array as a bound column so
+    * the window-min pass reads it instead of re-hashing all k-grams per
+    * window (the single-expression form above is O(n^2) hashes per doc
+    * when evaluated inline — see [[graft.functions.Staging]]). */
+  def winnowingSketch(df: DataFrame, textCol: String, outCol: String,
+                      k: Int = 8, w: Int = 4): DataFrame = {
+    import graft.functions.Staging.bound
+    val t = col(textCol)
+    val n = length(t)
+    df.withColumn("__kh", transform(
+        sequence(lit(1), greatest(n - lit(k - 1), lit(1))),
+        i => xxhash64(t.substr(i, lit(k)))))
+      .withColumn(outCol, bound(col("__kh"))(h =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(h) - lit(w - 1), lit(1))),
+          j => array_min(slice(h, j, lit(w)))))))
+      .drop("__kh")
+  }
+
   /** Convenience: full per-document text-analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
