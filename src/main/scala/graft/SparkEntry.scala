@@ -51,7 +51,8 @@ object SparkEntry {
     * sf dir under target/prepared — exercises Prepare, PreparedCatalog and
     * the aggregate router. */
   private val preparedRoots = scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def preparedEngine(s: SparkSession, sfDir: String): Engine = {
+  private[graft] def preparedEngine(s: SparkSession, sfDir: String,
+                                    cacheResults: Boolean = true): Engine = {
     val root = preparedRoots.getOrElseUpdate(sfDir, this.synchronized {
       val name = new java.io.File(sfDir).getName
       val r = s"/root/repo/target/prepared/$name"
@@ -61,7 +62,7 @@ object SparkEntry {
       }
       r
     })
-    new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates())
+    new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates(), cacheResults)
   }
 
   private def dslPrepared(json: String, renames: (String, String)*)

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.Engine
+import graft.schema.DirCatalog
+
+/** Property-based differential testing: random queries within the closed
+  * DSL grammar, executed through the DSL->Compiler path AND as equivalent
+  * Spark SQL text over the same derived view; results must match as
+  * multisets. This is the check the reference could never run (its only
+  * oracle was 5 fixed queries) — SURVEY §5 test plan item (3). */
+object DslPropertySpec extends Properties("dsl-vs-sql") {
+
+  private lazy val spark = SparkSpecBase.spark
+  private lazy val engine = {
+    val e = new Engine(spark, DirCatalog(SparkSpecBase.sfDir), Nil, cacheResults = false)
+    DirCatalog(SparkSpecBase.sfDir).table(spark, "events")
+      .createOrReplaceTempView("ev_prop")
+    e
+  }
+
+  // ---- grammar -----------------------------------------------------------
+
+  private val types = Seq("click", "view", "purchase", "error", "signup")
+  private val dims = Seq("event_type", "day", "week", "user_id")
+
+  /** (dsl-json-fragment, sql-fragment) pairs. */
+  private val genCond: Gen[(String, String)] = Gen.oneOf(
+    Gen.oneOf(types).map(t =>
+      (s"""{"col":"event_type","op":"eq","val":"$t"}""", s"event_type = '$t'")),
+    Gen.oneOf(types).map(t =>
+      (s"""{"col":"event_type","op":"neq","val":"$t"}""", s"event_type <> '$t'")),
+    Gen.someOf(types).suchThat(_.nonEmpty).map { ts =>
+      (s"""{"col":"event_type","op":"in","val":[${ts.map("\"" + _ + "\"").mkString(",")}]}""",
+        s"event_type IN (${ts.map("'" + _ + "'").mkString(",")})")
+    },
+    for (a <- Gen.choose(0, 400); b <- Gen.choose(0, 400)) yield {
+      val (lo, hi) = (math.min(a, b).toDouble, math.max(a, b).toDouble)
+      (s"""{"col":"value","op":"between","val":[$lo,$hi]}""",
+        s"value BETWEEN $lo AND $hi")
+    },
+    Gen.choose(0, 500).map(v =>
+      (s"""{"col":"value","op":"gt","val":$v}""", s"value > $v")),
+    Gen.choose(0, 1500).map(v =>
+      (s"""{"col":"user_id","op":"lt","val":$v}""", s"user_id < $v")),
+    Gen.choose(1, 30).map(d =>
+      (f"""{"col":"day","op":"eq","val":"2024-01-$d%02d"}""",
+        f"day = DATE '2024-01-$d%02d'")),
+    for (a <- Gen.choose(1, 30); b <- Gen.choose(1, 30)) yield {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      (f"""{"col":"day","op":"between","val":["2024-01-$lo%02d","2024-01-$hi%02d"]}""",
+        f"day BETWEEN DATE '2024-01-$lo%02d' AND DATE '2024-01-$hi%02d'")
+    })
+
+  /** (dsl-select-item, dsl-output-name, sql-select-expr). */
+  private val aggs: Seq[(String, String, String)] = Seq(
+    ("""{"SUM":"value"}""", "sum(value)", "sum(value)"),
+    ("""{"AVG":"value"}""", "avg(value)", "avg(value)"),
+    ("""{"MIN":"value"}""", "min(value)", "min(value)"),
+    ("""{"MAX":"value"}""", "max(value)", "max(value)"),
+    ("""{"COUNT":"*"}""", "count(*)", "count(*)"),
+    ("""{"COUNT":"value"}""", "count(value)", "count(value)"))
+
+  private case class Q(json: String, sql: String, outNames: Seq[String])
+
+  private val genQuery: Gen[Q] = for {
+    groupCols <- Gen.someOf(dims)
+    aggPicks <- Gen.pick(Gen.choose(1, 3).sample.getOrElse(2), aggs)
+    conds <- Gen.listOfN(Gen.choose(0, 3).sample.getOrElse(1), genCond)
+    withOrder <- Gen.oneOf(true, false)
+    withLimit <- Gen.oneOf(true, false)
+  } yield {
+    val sel = groupCols.map("\"" + _ + "\"") ++ aggPicks.map(_._1)
+    val outNames = groupCols.toSeq ++ aggPicks.map(_._2)
+    val sqlSel = (groupCols.toSeq ++
+      aggPicks.map(a => s"${a._3} AS `${a._2}`")).mkString(", ")
+    val whereJson =
+      if (conds.isEmpty) ""
+      else s""","where":[${conds.map(_._1).mkString(",")}]"""
+    val whereSql =
+      if (conds.isEmpty) "" else " WHERE " + conds.map(_._2).mkString(" AND ")
+    val groupJson =
+      if (groupCols.isEmpty) ""
+      else s""","group_by":[${groupCols.map("\"" + _ + "\"").mkString(",")}]"""
+    val groupSql =
+      if (groupCols.isEmpty) "" else " GROUP BY " + groupCols.mkString(", ")
+    // ORDER BY all output columns (total order on the multiset) makes a
+    // LIMIT deterministic; keys referenced in UPPERCASE to exercise the
+    // case-insensitive resolution path
+    val orderJson =
+      if (!withOrder) ""
+      else s""","order_by":[${outNames.map(n =>
+        s"""{"col":"${n.toUpperCase}","dir":"asc"}""").mkString(",")}]"""
+    val orderSql =
+      if (!withOrder) "" else " ORDER BY " + outNames.map(n => s"`$n`").mkString(", ")
+    val limitJson = if (withOrder && withLimit) ""","limit":50""" else ""
+    val limitSql = if (withOrder && withLimit) " LIMIT 50" else ""
+    Q(
+      s"""{"select":[${sel.mkString(",")}],"from":"events"$whereJson$groupJson$orderJson$limitJson}""",
+      s"SELECT $sqlSel FROM ev_prop$whereSql$groupSql$orderSql$limitSql",
+      outNames)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map { r =>
+      r.toSeq.map {
+        case d: Double => f"$d%.4f"
+        case null => "NULL"
+        case v => v.toString
+      }.mkString("")
+    }.toSeq.sorted
+
+  property("engine result equals Spark SQL result") = Prop.forAll(genQuery) { q =>
+    engine // force view registration
+    val viaDsl = canon(engine.executeJson(q.json))
+    val viaSql = canon(spark.sql(q.sql))
+    val ok = viaDsl == viaSql
+    if (!ok) {
+      println(s"MISMATCH\n  json=${q.json}\n  sql=${q.sql}\n  " +
+        s"dsl=${viaDsl.take(3)}\n  sql=${viaSql.take(3)}")
+    }
+    ok
+  }
+}

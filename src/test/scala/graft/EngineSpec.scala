@@ -122,6 +122,22 @@ class EngineSpec extends SparkSpec {
     assert(r.toSeq == s.toSeq)
   }
 
+  test("runBatch writes q{i}.csv per query (S6 sink, main.py contract)") {
+    val outDir = "/root/repo/target/tmp/batch_out"
+    val dfs = engine.runBatch(
+      """[{"select":["event_type",{"COUNT":"*"}],"from":"events",
+           "group_by":["event_type"],
+           "order_by":[{"col":"event_type","dir":"asc"}]},
+          {"select":[{"SUM":"value"}],"from":"events"}]""", outDir)
+    assert(dfs.size == 2)
+    val q1 = scala.io.Source.fromFile(s"$outDir/q1.csv").getLines().toList
+    assert(q1.head == "event_type,count(*)")
+    assert(q1.size == 6) // header + 5 types
+    assert(q1(1).startsWith("click,"))
+    val q2 = scala.io.Source.fromFile(s"$outDir/q2.csv").getLines().toList
+    assert(q2.head == "sum(value)" && q2.size == 2)
+  }
+
   test("result cache returns identical rows and hits on re-execution") {
     val e2 = Engine.forDir(spark, sfDir)
     val json = """{"select":["event_type",{"COUNT":"*"}],"from":"events","group_by":["event_type"]}"""

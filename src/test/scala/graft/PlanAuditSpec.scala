@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+import graft.schema.DirCatalog
+
+/** Physical-plan audits: these assert the *plan shape* that makes the
+  * operators viable at 100 TB — partition pruning, parquet filter
+  * pushdown, column pruning, broadcast vs shuffle join choice, top-k as
+  * TakeOrderedAndProject, codegen presence. A correctness-green operator
+  * with the wrong plan shape fails here. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Engines with result caching OFF: the cache materializes hits as
+    * LocalTableScan, hiding the plan under audit. */
+  private def scanEngine = new Engine(spark, DirCatalog(sfDir), Nil, cacheResults = false)
+
+  test("partition-pruned scan: eq filters on partition cols become PartitionFilters") {
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    val df = eng.executeJson(
+      """{"select":["event_id","value"],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"},
+                  {"col":"day","op":"eq","val":"2024-01-15"}]}""")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("event_type"), plan)
+    // data filters must NOT appear as a post-scan Filter on partition cols
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_id)"), plan)
+  }
+
+  test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
+    val df = scanEngine.executeJson(
+      """{"select":["event_id",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"user_id","op":"gte","val":5}],
+         "group_by":["event_id"]}""")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), GreaterThanOrEqual(user_id,5)"), plan)
+    // only the referenced columns are read: no text-ish columns in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id"), readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
+  }
+
+  test("small dim join is a BroadcastHashJoin; fact-fact join is shuffle-based") {
+    val o = graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet")
+    val c = graft.sources.ParquetNanos.read(spark, s"$sfDir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val bPlan = physical(graft.operators.Relational.broadcastDimJoin(o, c, Seq("o_custkey")))
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+
+    val li = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    // disable auto-broadcast to prove the operator itself plans a shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sPlan = physical(graft.operators.Relational.shuffleJoin(li, o, Seq("o_orderkey")))
+      assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"), sPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ORDER BY + LIMIT plans as distributed top-k (TakeOrderedAndProject)") {
+    val df = scanEngine.executeJson(
+      """{"select":["event_id","user_id"],"from":"events",
+         "order_by":[{"col":"event_id","dir":"asc"}],"limit":100}""")
+    assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
+  }
+
+  test("DSL aggregate runs inside WholeStageCodegen with partial aggregation") {
+    val df = scanEngine.executeJson(
+      """{"select":["event_type",{"SUM":"value"}],"from":"events",
+         "group_by":["event_type"]}""")
+    df.collect() // materialize the adaptive plan so the final stages show
+    val plan = physical(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact form
+    assert(plan.contains("*(1)"), plan)
+    // partial (map-side) aggregation before the exchange: the shuffle
+    // moves pre-aggregated rows, not raw events
+    assert(plan.contains("partial_sum"), plan)
+    val finalPart = plan.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalPart).size >= 2, plan)
+  }
+
+  test("routed rollup query never touches the fact table") {
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    val df = eng.executeJson(
+      """{"select":["event_type",{"SUM":"value"}],"from":"events",
+         "group_by":["event_type"]}""")
+    assert(eng.lastRoute.toString.contains("Routed"))
+    val plan = physical(df)
+    assert(!plan.contains("events_stream") && !plan.contains("prepared/sf0.001/events"),
+      plan)
+  }
+
+  test("dedup explode path carries no vacuous inferred generate-filter") {
+    val pairs = graft.operators.Dedup.minhashPairs(
+      graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
+      "doc_id", "text", 32, 2, 0.5)
+    val opt = pairs.queryExecution.optimizedPlan.toString
+    // the pathological shape repeats the tokenizer inside a Filter;
+    // with InferFiltersFromGenerate excluded it appears exactly once
+    // per staged projection
+    val tokenizerCount = "split\\(lower\\(text".r.findAllIn(opt).size
+    assert(tokenizerCount <= 2, s"tokenizer appears $tokenizerCount times:\n${opt.take(2000)}")
+  }
+}
