@@ -23,13 +23,21 @@ object Similarity {
 
   /** Cosine similarity of two float arrays, computed in strict index
     * order (zip_with + left fold) — the same evaluation order DuckDB's
-    * list_cosine_similarity uses, so oracle comparisons are bit-stable. */
-  def cosine(a: Column, b: Column): Column = {
+    * list_cosine_similarity uses, so oracle comparisons are bit-stable.
+    * Composable/interpreted reference form; the hot paths use
+    * [[cosineFast]]. */
+  def cosineComposable(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarity]]):
+    * fused primitive loop, no intermediate arrays, bit-identical to the
+    * composable form (same index-order double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineNative(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); `corpus` is unbounded.

@@ -56,6 +56,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall: $recall")
   }
 
+  test("native codegen cosine is bit-identical to the composable form") {
+    val pairs = embeddings.limit(100).crossJoin(
+        embeddings.limit(100).select(col("vec_id").as("id2"),
+          col("embedding").as("emb2")))
+      .filter(col("vec_id") < col("id2"))
+    val diffs = pairs.select(
+        graft.operators.Similarity.cosine(col("embedding"), col("emb2")).as("fast"),
+        graft.operators.Similarity.cosineComposable(col("embedding"), col("emb2")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0, s"$diffs pairs differ between native and composable cosine")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dup docs") {
     val pair = exactPairs.head
     val fp = docs.filter(col("doc_id").isin(pair._1, pair._2))
