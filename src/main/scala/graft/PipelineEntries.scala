@@ -88,6 +88,12 @@ object PipelineEntries {
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // duplicate-cluster resolution over exact near-dup pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5))),
+
     // -------------------------------------------------- similarity search
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -234,6 +240,33 @@ object PipelineEntries {
              AS jaccard
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.3""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
 
     "dedup_ngram_blocked" ->
       """WITH toks AS (

@@ -270,6 +270,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // --------------------------------------------------- cluster resolution
+
+  /** Resolve near-dup pairs into duplicate clusters: connected components
+    * by iterative min-label propagation (each node adopts the smallest id
+    * reachable through pair edges). Converges in O(log(diameter))
+    * join+aggregate rounds; near-dup clusters are small in practice, so
+    * `maxIter` is a safety bound, not a typical cost. Output:
+    * (id, cluster_id) where cluster_id = min doc id of the component —
+    * keep cluster_id's doc, drop the rest. */
+  def clusters(pairs: DataFrame, aCol: String = "a_id",
+               bCol: String = "b_id", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v")
+          .withColumnRenamed("cluster_id", "nbr_label"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // convergence check materializes one count per round — at scale,
+      // checkpoint `labels` every few rounds to truncate lineage
+      val changed = updated.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels = updated.localCheckpoint(true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine >= threshold. The pair

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,4 +60,57 @@ object Relational {
                    orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
     rankInGroups(df, partCols, orderCols, "__rn")
       .filter(col("__rn") <= k).drop("__rn")
+
+  // ------------------------------------------------------- skew handling
+
+  /** Salted shuffle join for skewed keys. The skewed (big) side gets a
+    * deterministic pseudo-random salt in [0, saltFactor); the small side
+    * is replicated once per salt value; the join key becomes
+    * (keys..., salt), splitting each hot key's rows across saltFactor
+    * reducers. Deterministic (salt is hashed from the row's key plus a
+    * disambiguator column), so results are reproducible. AQE's skew-join
+    * handles sort-merge cases automatically at runtime; explicit salting
+    * remains necessary for skewed aggregations and for engines/plans AQE
+    * does not cover. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 disambig: String, saltFactor: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(disambig)), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed grouping keys: partial
+    * aggregate on (keys, salt) — splitting each hot key across
+    * saltFactor reducers — then final aggregate on keys. Exposes the
+    * standard algebraic decomposition (sum of sums, sum of counts,
+    * min of mins, max of maxes); AVG callers should request sum+count
+    * and divide. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], disambig: String,
+                      aggs: Seq[(String, String, String)], // (fn, col, alias)
+                      saltFactor: Int = 8): DataFrame = {
+    def fn1(fn: String, c: Column): Column = fn match {
+      case "sum" => sum(c)
+      case "count" => count(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case other => throw new IllegalArgumentException(
+        s"saltedAggregate supports sum/count/min/max, got $other")
+    }
+    def fn2(fn: String, c: Column): Column = fn match {
+      case "sum" | "count" => sum(c)
+      case "min" => min(c)
+      case "max" => max(c)
+    }
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(disambig)), lit(saltFactor)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head match { case (f, c, a) => fn1(f, col(c)).as(a) },
+        aggs.tail.map { case (f, c, a) => fn1(f, col(c)).as(a) }: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(aggs.head match { case (f, _, a) => fn2(f, col(a)).as(a) },
+        aggs.tail.map { case (f, _, a) => fn2(f, col(a)).as(a) }: _*)
+  }
 }

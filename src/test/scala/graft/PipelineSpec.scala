@@ -56,6 +56,39 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall: $recall")
   }
 
+  test("cluster resolution groups transitive near-dup pairs") {
+    import SparkSpecBase.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3},{10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("salted join and salted aggregate equal their unsalted forms") {
+    import graft.operators.Relational
+    val ev = graft.schema.DirCatalog(sfDir).table(spark, "events")
+      .select("event_id", "event_type", "value", "user_id")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_tag", concat(lit("t_"), col("event_type")))
+    val plain = ev.join(dim, Seq("event_type")).select("event_id", "type_tag")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Relational.saltedJoin(ev, dim, Seq("event_type"),
+        disambig = "event_id", saltFactor = 4)
+      .select("event_id", "type_tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+
+    val aggPlain = ev.groupBy("event_type")
+      .agg(sum("value").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e4), r.getLong(2))).toSet
+    val aggSalted = Relational.saltedAggregate(ev, Seq("event_type"),
+        disambig = "event_id",
+        aggs = Seq(("sum", "value", "s"), ("count", "value", "c")), saltFactor = 4)
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e4), r.getLong(2))).toSet
+    assert(aggSalted == aggPlain)
+  }
+
   test("native codegen cosine is bit-identical to the composable form") {
     val pairs = embeddings.limit(100).crossJoin(
         embeddings.limit(100).select(col("vec_id").as("id2"),
@@ -108,6 +141,28 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getTimestamp(2), r.getTimestamp(3))).toSet
     assert(drained == batch)
+  }
+
+  test("stateful sessionizer emits closed sessions across micro-batches") {
+    import SparkSpecBase.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val sessions = StreamOps.sessionizeStream(input.toDS(), timeoutMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("spec_sessions")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // batch 1: user 7 events at t0, t0+5 (one open session)
+    input.addData(StreamOps.SessionEvent(7L, ts(0)), StreamOps.SessionEvent(7L, ts(5)))
+    q.processAllAvailable()
+    assert(spark.table("spec_sessions").count() == 0) // still open
+    // batch 2: event at t0+90 -> gap 85min > 30min closes session 1
+    input.addData(StreamOps.SessionEvent(7L, ts(90)))
+    q.processAllAvailable()
+    val closed = spark.table("spec_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    assert(closed.toSeq == Seq((7L, ts(0), ts(5), 2L)))
   }
 
   test("streaming windowed agg equals batch aggregation") {
