@@ -108,6 +108,12 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, numPlanes = 6)
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+
     // --------------------------------------------------------- multimodal
 
     "mm_meta" -> ((s, dir) =>

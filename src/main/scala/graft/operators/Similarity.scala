@@ -73,6 +73,78 @@ object Similarity {
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
+  // ------------------------------------------------------------ IVF ANN
+
+  /** Train IVF centroids: deterministic init (the `nlist` lowest-id
+    * vectors) + `iters` Lloyd rounds. Assignment work is distributed
+    * (argmax over codegen'd cosines); only the nlist x dim centroid
+    * matrix ever reaches the driver — the classic IVF shape, where the
+    * coarse quantizer is tiny and the corpus never moves. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, iters: Int = 3): Array[Seq[Float]] = {
+    var centroids: Array[Seq[Float]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0))
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        ivfAssign(col(vecCol), centroids).as("bucket"))
+      val sums = assigned
+        .select(col("bucket"), posexplode(col("v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byBucket = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { b =>
+        byBucket.get(b) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None => centroids(b) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id (cosine argmax; ties -> lowest id). */
+  def ivfAssign(vec: Column, centroids: Array[Seq[Float]]): Column = {
+    val cos = centroids.map(c => cosine(vec, typedlit(c)))
+    val arr = array(cos: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** `nprobe` nearest centroid ids for a query vector. */
+  private def ivfProbes(vec: Column, centroids: Array[Seq[Float]],
+                        nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedlit(c)).as("s"), lit(i).as("i"))
+    }: _*)
+    val sorted = reverse(array_sort(scored))
+    transform(slice(sorted, 1, nprobe), p => p.getField("i"))
+  }
+
+  /** IVF approximate top-k: corpus bucketed by nearest centroid, queries
+    * probe their `nprobe` nearest centroid lists, exact cosine re-rank
+    * within. Compared to sign-LSH, the quantizer adapts to the data
+    * distribution (Lloyd), so clustered corpora get much better
+    * bucket-recall at equal candidate volume. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("bucket", ivfAssign(col("n_v"), centroids))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .select(col("q_id"), col("q_v"),
+        explode(ivfProbes(col("q_v"), centroids, nprobe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_v"), col("n_v")))
+    Relational.topKPerGroup(scored, Seq("q_id"),
+        Seq(("cosine", true), ("n_id", false)), k)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets at Hamming distance 1 (multi-probe — one extra
     * probe per plane roughly doubles recall at the same bucket

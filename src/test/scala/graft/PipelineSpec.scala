@@ -102,6 +102,20 @@ class PipelineSpec extends SparkSpec {
     assert(diffs == 0, s"$diffs pairs differ between native and composable cosine")
   }
 
+  test("IVF ANN beats sign-LSH recall on the same corpus") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // nprobe/nlist = 1/4 of the corpus scanned; Lloyd-adapted buckets
+    // should capture well over half the true neighbors
+    assert(recall >= 0.5, s"IVF recall: $recall")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dup docs") {
     val pair = exactPairs.head
     val fp = docs.filter(col("doc_id").isin(pair._1, pair._2))
