@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.AsofJoin
+
+/** Advanced-analytics operator entries: as-of join, rollup/cube, pivot,
+  * exact + approximate percentiles, JSON extraction, windowed moving
+  * aggregates, range join. All absent from the reference (SURVEY §2.4);
+  * each is a first-class operator of a complete engine, expressed
+  * declaratively so Catalyst owns the physical plan. */
+object AnalyticsEntries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.schema.DirCatalog(dir).table(s, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // as-of join (backward, inclusive): latest purchase value at or
+    // before each event, per user — one shuffle, no range explosion
+    "ext_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "ts", "event_id")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+      AsofJoin.asofBackward(ev, purchases, Seq("user_id"), "ts", "ts",
+          Seq("last_purchase"))
+        .select(col("event_id"), col("user_id"),
+          round(col("last_purchase"), 4).as("last_purchase"))
+    }),
+
+    "ext_rollup" -> ((s, dir) =>
+      events(s, dir).rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))),
+
+    "ext_cube" -> ((s, dir) =>
+      events(s, dir).cube(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "ext_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy(col("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(round(sum(col("value")), 4))),
+
+    // exact percentiles (linear interpolation — same definition as
+    // DuckDB quantile_cont)
+    "ext_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+
+    // approximate percentile sketch — rows-only (approximation differs)
+    "ext_approx_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("ap50"))),
+
+    // JSON column extraction (events.props is a JSON string)
+    "ext_json_extract" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))),
+
+    // windowed moving average per user ordered by event time
+    "ext_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, Window.currentRow)
+      events(s, dir).select(col("event_id"),
+        round(avg(col("value")).over(w), 4).as("mavg"))
+    }),
+
+    // range (interval) join: purchases within 5 minutes after a signup
+    "ext_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val signup = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("signup_ts"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      signup.join(purch, Seq("user_id"))
+        .filter(col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("signup_id"), col("purchase_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ext_asof_join" ->
+      ("SELECT l.event_id, l.user_id, round(r.value, 4) AS last_purchase " +
+       "FROM events l ASOF LEFT JOIN " +
+       "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
+       "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "ext_rollup" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt, " +
+       "round(sum(value), 4) AS sum_value FROM events " +
+       "GROUP BY ROLLUP(event_type, CAST(ts AS DATE))"),
+    "ext_cube" ->
+      ("SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week, " +
+       "count(*) AS cnt FROM events " +
+       "GROUP BY CUBE(event_type, CAST(date_trunc('week', ts) AS DATE))"),
+    "ext_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+       "round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, " +
+       "round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view, " +
+       "round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, " +
+       "round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, " +
+       "round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup " +
+       "FROM events GROUP BY 1"),
+    "ext_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.25), 4) AS p25, " +
+       "round(quantile_cont(value, 0.5), 4) AS p50, " +
+       "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY 1"),
+    "ext_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+       "FROM events"),
+    "ext_moving_avg" ->
+      ("SELECT event_id, round(avg(value) OVER (PARTITION BY user_id " +
+       "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) " +
+       "AS mavg FROM events"),
+    "ext_range_join" ->
+      ("SELECT s.event_id AS signup_id, p.event_id AS purchase_id " +
+       "FROM events s JOIN events p ON s.user_id = p.user_id " +
+       "AND s.event_type = 'signup' AND p.event_type = 'purchase' " +
+       "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE")
+    // ext_approx_percentile: rows-only (sketch-specific values)
+  )
+}

@@ -88,7 +88,7 @@ object SparkEntry {
   // -------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineEntries.queries ++ coreQueries
+    PipelineEntries.queries ++ AnalyticsEntries.queries ++ coreQueries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -388,7 +388,7 @@ object SparkEntry {
   private val minuteE = "strftime(ts, '%Y-%m-%d %H:%M')"
 
   def oracleSql: Map[String, String] =
-    PipelineEntries.oracleSql ++ coreOracleSql
+    PipelineEntries.oracleSql ++ AnalyticsEntries.oracleSql ++ coreOracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "r1_projection" ->

@@ -56,6 +56,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall: $recall")
   }
 
+  test("asof join: inclusive backward semantics, nulls before first match") {
+    import SparkSpecBase.implicits._
+    import graft.operators.AsofJoin
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, ts(5), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),
+        (2L, ts(7), "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(15), 200.0), (3L, ts(1), 9.0))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(got("a").isEmpty)            // before any right row
+    assert(got("b").contains(100.0))    // equal ts matches (inclusive)
+    assert(got("c").contains(200.0))    // latest preceding, not first
+    assert(got("d").isEmpty)            // key with no right rows at all
+  }
+
   test("cluster resolution groups transitive near-dup pairs") {
     import SparkSpecBase.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3},{10,11}
