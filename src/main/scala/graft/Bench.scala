@@ -22,9 +22,11 @@ object Bench {
     "route_reagg_type", "route_residual_filters",
     "scan_partition_pruned",
     "tpch_q1", "join_shuffle_fact", "join_broadcast_dim",
-    "ext_window_topk_per_group",
+    "ext_window_topk_per_group", "ext_asof_join", "ext_moving_avg",
+    "ext_rollup",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_blocked",
-    "ann_brute_topk", "sessionize", "text_quality")
+    "dedup_clusters",
+    "ann_brute_topk", "ann_ivf_topk", "sessionize", "text_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -131,6 +131,23 @@ object PipelineEntries {
         .select(col("media_id"), col("n_chunks").cast(LongType).as("n_chunks"),
           size(col("kept_chunks")).cast(LongType).as("n_kept"))),
 
+    // stratified cap: at most 50 docs per language (deterministic by
+    // doc_id) — the language-rebalancing primitive of corpus curation;
+    // one shuffle via window rank, no collect
+    "ext_stratified_cap" -> ((s, dir) =>
+      graft.operators.Relational.topKPerGroup(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq("lang"), Seq(("doc_id", false)), k = 50)
+        .select(col("doc_id"), col("lang"))),
+
+    // data-quality profile: per-source null/blank/short-doc counts
+    "ext_quality_profile" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("text").isNull || col("text") === "", 1)).as("n_blank"),
+        count(when(length(col("text")) < 100, 1)).as("n_short"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))),
+
     // ------------------------------------------------------ sessionization
 
     "sessionize" -> ((s, dir) =>
@@ -333,6 +350,17 @@ object PipelineEntries {
            CAST(len(list_filter(generate_series(0, CAST(greatest(n_chunks - 1, 0) AS BIGINT)),
              i -> i % 4 = 0)) AS BIGINT) AS n_kept
          FROM m""",
+
+    "ext_stratified_cap" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY doc_id ASC) AS rn FROM documents) WHERE rn <= 50""",
+
+    "ext_quality_profile" ->
+      ("SELECT source, count(*) AS n_docs, " +
+       "count(CASE WHEN text IS NULL OR text = '' THEN 1 END) AS n_blank, " +
+       "count(CASE WHEN length(text) < 100 THEN 1 END) AS n_short, " +
+       "round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY 1"),
 
     "sessionize" ->
       """WITH g AS (

@@ -272,17 +272,31 @@ object Dedup {
 
   // --------------------------------------------------- cluster resolution
 
-  /** Resolve near-dup pairs into duplicate clusters: connected components
-    * by iterative min-label propagation (each node adopts the smallest id
-    * reachable through pair edges). Converges in O(log(diameter))
-    * join+aggregate rounds; near-dup clusters are small in practice, so
-    * `maxIter` is a safety bound, not a typical cost. Output:
-    * (id, cluster_id) where cluster_id = min doc id of the component —
-    * keep cluster_id's doc, drop the rest. */
+  /** Resolve near-dup pairs into duplicate clusters (connected
+    * components). Output: (id, cluster_id) where cluster_id = min doc id
+    * of the component — keep cluster_id's doc, drop the rest.
+    *
+    * Two regimes:
+    *  - pair list fits the driver (`driverMaxEdges`, default 5M edges =
+    *    ~80 MB): exact union-find in milliseconds. Near-dup pair lists
+    *    are bounded by dup-rate x corpus, orders of magnitude smaller
+    *    than the corpus itself, so this is the common case even at
+    *    100 TB of documents;
+    *  - larger: distributed min-label propagation, O(diameter) rounds of
+    *    join+aggregate, each round checkpointed. Unbounded scale, but
+    *    each round pays scheduler+shuffle latency — only worth it past
+    *    driver memory. */
   def clusters(pairs: DataFrame, aCol: String = "a_id",
-               bCol: String = "b_id", maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+               bCol: String = "b_id", maxIter: Int = 10,
+               driverMaxEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // materialize the PAIRS once (before the union duplicates the
+    // lineage): neither the propagation rounds nor the collect may
+    // re-execute the pair-generation pipeline upstream
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
+    val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
+    if (edges.count() <= driverMaxEdges) return unionFindLocal(spark, edges)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var iter = 0
@@ -297,17 +311,44 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-      // convergence check materializes one count per round — at scale,
-      // checkpoint `labels` every few rounds to truncate lineage
+        .localCheckpoint(true) // one materialization per round
+      // convergence check runs over the two checkpointed label sets —
+      // no lineage recomputation
       val changed = updated.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
-      labels = updated.localCheckpoint(true)
+      labels = updated
       converged = changed == 0
       iter += 1
     }
     labels
+  }
+
+  /** Exact union-find (path compression + union-by-min-root) over a
+    * collected edge list; returns the same (id, cluster_id) schema as
+    * the distributed path. */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+                             edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.select(col("u"), col("v")).collect().foreach { row =>
+      val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ru != rv) { // min root wins -> cluster_id is the component min
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+      parent.getOrElseUpdate(row.getLong(0), find(row.getLong(0)))
+      parent.getOrElseUpdate(row.getLong(1), find(row.getLong(1)))
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toDF("id", "cluster_id")
   }
 
   // ------------------------------------------- embedding cosine near-dup
