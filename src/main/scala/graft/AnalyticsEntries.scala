@@ -72,6 +72,26 @@ object AnalyticsEntries {
         round(avg(col("value")).over(w), 4).as("mavg"))
     }),
 
+    // bucketed co-located join: both sides pre-bucketed on the join key
+    // -> sort-merge join with zero exchange (see Bucketing)
+    "ext_bucketed_join" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val wh = s"/root/repo/target/warehouse/$sf"
+      graft.prepare.Bucketing.writeBucketed(s,
+        graft.sources.ParquetNanos.read(s, s"$dir/lineitem.parquet")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        s"li_bkt_$sf", "o_orderkey", 8, s"$wh/li_bkt")
+      graft.prepare.Bucketing.writeBucketed(s,
+        graft.sources.ParquetNanos.read(s, s"$dir/orders.parquet"),
+        s"ord_bkt_$sf", "o_orderkey", 8, s"$wh/ord_bkt")
+      val joined = graft.prepare.Bucketing.bucketedJoin(
+        s, s"li_bkt_$sf", s"ord_bkt_$sf", "o_orderkey")
+      joined.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
     // range (interval) join: purchases within 5 minutes after a signup
     "ext_range_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -121,6 +141,10 @@ object AnalyticsEntries {
       ("SELECT event_id, round(avg(value) OVER (PARTITION BY user_id " +
        "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) " +
        "AS mavg FROM events"),
+    "ext_bucketed_join" ->
+      ("SELECT o.o_orderpriority, count(*) AS cnt, " +
+       "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1"),
     "ext_range_join" ->
       ("SELECT s.event_id AS signup_id, p.event_id AS purchase_id " +
        "FROM events s JOIN events p ON s.user_id = p.user_id " +

@@ -60,6 +60,31 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: first occurrence per key wins; state bounded
+    * by the watermark (keys older than the watermark are evicted — the
+    * standard shape for dedup over an unbounded firehose). */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String],
+                   tsCol: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join: left events matched to right events on
+    * `key` within [0, windowMinutes] after the left event. Watermarks on
+    * both sides bound the join state. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          windowMinutes: Int,
+                          watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(
+          s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   // ------------------------------------------------ stateful sessionizer
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

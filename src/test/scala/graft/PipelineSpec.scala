@@ -196,6 +196,45 @@ class PipelineSpec extends SparkSpec {
     assert(closed.toSeq == Seq((7L, ts(0), ts(5), 2L)))
   }
 
+  test("streaming dedup suppresses duplicate keys across micro-batches") {
+    import SparkSpecBase.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val deduped = StreamOps.dedupeStream(
+      input.toDF().toDF("k", "ts"), Seq("k"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("spec_dedup")
+      .outputMode("append").start()
+    input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+    q.processAllAvailable()
+    input.addData((1L, ts(5)), (3L, ts(6))) // 1 is a dup within watermark
+    q.processAllAvailable()
+    val keys = spark.table("spec_dedup").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(keys == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join matches only within the window") {
+    import SparkSpecBase.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoinStreams(
+      signups.toDF().toDF("k", "s_ts"), purchases.toDF().toDF("k", "p_ts"),
+      "k", "s_ts", "p_ts", windowMinutes = 5)
+    val q = joined.writeStream.format("memory").queryName("spec_ssjoin")
+      .outputMode("append").start()
+    signups.addData((1L, ts(0)), (2L, ts(0)))
+    purchases.addData((1L, ts(3)), (2L, ts(10))) // only k=1 inside 5 min
+    q.processAllAvailable()
+    val got = spark.table("spec_ssjoin").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(1L))
+  }
+
   test("streaming windowed agg equals batch aggregation") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

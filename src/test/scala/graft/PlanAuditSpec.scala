@@ -97,6 +97,36 @@ class PlanAuditSpec extends SparkSpec {
       plan)
   }
 
+  test("bucketed join plans with zero exchange on the join inputs") {
+    val wh = "/root/repo/target/warehouse/spec"
+    graft.prepare.Bucketing.writeBucketed(spark,
+      graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "li_bkt_spec", "o_orderkey", 4, s"$wh/li_bkt")
+    graft.prepare.Bucketing.writeBucketed(spark,
+      graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet"),
+      "ord_bkt_spec", "o_orderkey", 4, s"$wh/ord_bkt")
+    // force the merge-join path (at sf0.001 Spark would broadcast the
+    // tiny orders side, which also avoids exchanges but proves nothing
+    // about bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.prepare.Bucketing.bucketedJoin(
+        spark, "li_bkt_spec", "ord_bkt_spec", "o_orderkey")
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and it returns the same rows as the plain join
+      val expect = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet"),
+          Seq("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
