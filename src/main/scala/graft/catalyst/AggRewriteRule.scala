@@ -120,9 +120,13 @@ case class AggRewriteRule(
         val s = Sum(a).toAggregateExpression()
         resultType.filter(_ != s.dataType).map(Cast(s, _)).getOrElse(s)
       }
+    // COUNT -> SUM(partial counts) must coalesce to 0: SUM over an empty
+    // selection is NULL, COUNT over an empty scan is 0
+    def countOf(c: String): Option[Expression] =
+      sumOf(c, Some(LongType)).map(s => Coalesce(Seq(s, Literal(0L, LongType))))
     fn match {
-      case Count(Seq(Literal(_, _))) | Count(Nil) => sumOf(d.cntStar, Some(LongType))
-      case Count(Seq(e)) => measureName(e).flatMap(m => sumOf(d.cntCol(m), Some(LongType)))
+      case Count(Seq(Literal(_, _))) | Count(Nil) => countOf(d.cntStar)
+      case Count(Seq(e)) => measureName(e).flatMap(m => countOf(d.cntCol(m)))
       case s @ Sum(e, _) => measureName(e).flatMap(m => sumOf(d.sumCol(m), Some(s.dataType)))
       case a @ Average(e, _) =>
         measureName(e).flatMap { m =>

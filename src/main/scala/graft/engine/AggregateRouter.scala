@@ -113,9 +113,13 @@ object AggregateRouter {
     val table = catalog.table(spark, d.name)
     val filtered = residual.foldLeft(table)((df, c) => df.filter(condColumn(df, c)))
 
+    // COUNT decomposes as SUM of partial counts, but SUM over an EMPTY
+    // rollup selection is NULL while COUNT over an empty scan is 0 —
+    // coalesce restores exact global-aggregation semantics (caught by
+    // the routed-vs-scanned property test)
     def derived(a: AggItem): Column = (a match {
-      case AggItem(Count, "*") => sum(col(d.cntStar))
-      case AggItem(Count, m) => sum(col(d.cntCol(m)))
+      case AggItem(Count, "*") => coalesce(sum(col(d.cntStar)), lit(0L))
+      case AggItem(Count, m) => coalesce(sum(col(d.cntCol(m))), lit(0L))
       case AggItem(Sum, m) => sum(col(d.sumCol(m)))
       case AggItem(Avg, m) => sum(col(d.sumCol(m))) / sum(col(d.cntCol(m)))
       case AggItem(Min, m) => min(col(d.minCol(m)))

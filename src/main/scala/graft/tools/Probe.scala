@@ -3,8 +3,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev probe for the verify loop — drives the public Engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    // deliberately NOT setting nanosAsLong here: ParquetNanos.read must
+    // set it dynamically (the driver's own session may lack it)
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

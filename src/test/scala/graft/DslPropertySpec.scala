@@ -124,4 +124,58 @@ object DslPropertySpec extends Properties("dsl-vs-sql") {
     }
     ok
   }
+
+  // ---- routed-vs-scanned: any query answerable from a rollup must give
+  // ---- the same answer through the router as through the fact scan
+
+  private val genRoutable: Gen[String] = for {
+    groupCols <- Gen.someOf(Seq("event_type", "day"))
+    aggPicks <- Gen.pick(Gen.choose(1, 3).sample.getOrElse(2), aggs)
+    nConds <- Gen.choose(0, 2)
+    conds <- Gen.listOfN(nConds, Gen.oneOf(
+      Gen.oneOf(types).map(t => s"""{"col":"event_type","op":"eq","val":"$t"}"""),
+      Gen.choose(1, 30).map(d => f"""{"col":"day","op":"eq","val":"2024-01-$d%02d"}"""),
+      for (a <- Gen.choose(1, 30); b <- Gen.choose(1, 30)) yield {
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        f"""{"col":"day","op":"between","val":["2024-01-$lo%02d","2024-01-$hi%02d"]}"""
+      }))
+  } yield {
+    val sel = groupCols.map("\"" + _ + "\"") ++ aggPicks.map(_._1)
+    val whereJson = if (conds.isEmpty) "" else s""","where":[${conds.mkString(",")}]"""
+    val groupJson = if (groupCols.isEmpty) ""
+      else s""","group_by":[${groupCols.map("\"" + _ + "\"").mkString(",")}]"""
+    s"""{"select":[${sel.mkString(",")}],"from":"events"$whereJson$groupJson}"""
+  }
+
+  /** Rows keyed by their non-double fields (the unique group keys);
+    * doubles compared with relative tolerance — re-aggregation legally
+    * re-associates floating-point sums, so bit-equality is not the
+    * contract (1e-9 relative is). */
+  private def tolerantEqual(a: DataFrame, b: DataFrame): Boolean = {
+    def keyed(df: DataFrame): Map[String, Seq[Any]] =
+      df.collect().map { r =>
+        val cells = r.toSeq
+        val key = cells.filterNot(_.isInstanceOf[Double]).map(String.valueOf).mkString("|")
+        key -> cells
+      }.toMap
+    val (ka, kb) = (keyed(a), keyed(b))
+    ka.keySet == kb.keySet && ka.forall { case (k, cells) =>
+      cells.zip(kb(k)).forall {
+        case (x: Double, y: Double) =>
+          (x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+        case (x, y) => String.valueOf(x) == String.valueOf(y)
+      }
+    }
+  }
+
+  property("routed result equals scanned result") = Prop.forAll(genRoutable) { json =>
+    val prepared = SparkEntry.preparedEngine(spark, SparkSpecBase.sfDir,
+      cacheResults = false)
+    val routed = prepared.executeJson(json)
+    val didRoute = prepared.lastRoute.toString.contains("Routed")
+    val scanned = engine.executeJson(json)
+    val ok = didRoute && tolerantEqual(routed, scanned)
+    if (!ok) println(s"ROUTE-MISMATCH route=${prepared.lastRoute}\n  json=$json")
+    ok
+  }
 }

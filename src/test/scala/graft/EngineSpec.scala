@@ -138,6 +138,38 @@ class EngineSpec extends SparkSpec {
     assert(q2.head == "sum(value)" && q2.size == 2)
   }
 
+  test("prepare ingests a multi-file CSV glob (events_part_*) end-to-end") {
+    import org.apache.spark.sql.types._
+    val src = DirCatalog(sfDir).table(spark, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val csvDir = "/root/repo/target/tmp/spec_csv_parts"
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    src.repartition(3).write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(csvDir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val read = spark.read.schema(schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(s"$csvDir/*.csv")
+    val outRoot = "/root/repo/target/tmp/spec_prepared_csv"
+    graft.prepare.Prepare.run(spark, read, outRoot)
+    val eng = new graft.engine.Engine(spark,
+      graft.schema.PreparedCatalog(outRoot), graft.prepare.Prepare.defaultAggregates())
+    val viaPrepared = eng.executeJson(
+      """{"select":["event_type",{"COUNT":"*"},{"SUM":"value"}],
+         "from":"events","group_by":["event_type"]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e4))).toSet
+    val direct = src.groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e4))).toSet
+    assert(viaPrepared == direct)
+  }
+
   test("result cache returns identical rows and hits on re-execution") {
     val e2 = Engine.forDir(spark, sfDir)
     val json = """{"select":["event_type",{"COUNT":"*"}],"from":"events","group_by":["event_type"]}"""
