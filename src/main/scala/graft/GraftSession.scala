@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session configuration for the engine.
+  *
+  * One place for the settings every entry point needs:
+  *  - shuffle partitions sized to the core count (local mode — not 200);
+  *  - UTC session time (the data is UTC-naive, SURVEY §1.3);
+  *  - TIMESTAMP(NANOS) parquet interop (see [[graft.sources.ParquetNanos]]);
+  *  - AQE on (runtime coalescing + skew-join splitting);
+  *  - InferFiltersFromGenerate excluded (clones expensive generator-input
+  *    expressions into vacuous filters — see [[graft.functions.Staging]]).
+  */
+object GraftSession {
+
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard session: cores from SPARK_GRAFT_CPUS (default 32, matching
+    * the target local[32] environment). */
+  def create(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(cpus).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

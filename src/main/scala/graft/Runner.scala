@@ -23,15 +23,7 @@ object Runner {
       "usage: Runner <queries.json> <dataDir> <outDir> [preparedRoot]")
     val Array(queriesFile, dataDir, outDir) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus).appName("graft-runner").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val engine = args.lift(3) match {
