@@ -196,9 +196,22 @@ object Dedup {
     * exact Hamming inside buckets. Output (a_id, b_id, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    import graft.functions.Staging.bound
-    val sigs = shingleDf(df, idCol, textCol, 3)
-      .select(col("id"), bound(col("sh"))(simhash).as("sig"))
+    // relational simhash: explode shingles, 64 codegen'd conditional-sum
+    // votes per doc (static shift amounts), fold the sign bits — same
+    // result as the Column-level simhash(), all in generated code with
+    // map-side partial sums
+    val sh = shingleDf(df, idCol, textCol, 3)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val sigs = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce[Column]((a, c) => a.bitwiseOR(c)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sig"), b * 16)
