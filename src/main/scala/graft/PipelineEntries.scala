@@ -62,6 +62,15 @@ object PipelineEntries {
           size(col("sketch")).cast(LongType).as("n_sketch"),
           array_min(col("sketch")).as("sketch_min"))),
 
+    // corpus vocabulary: top-100 tokens by frequency
+    "text_term_freq" -> ((s, dir) =>
+      TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
+
+    // per-doc top-3 TF-IDF terms (docs with id < 50 to bound output)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", 3)
+        .filter(col("id") < 50)),
+
     // -------------------------------------------------------------- dedup
 
     "dedup_exact" -> ((s, dir) =>
@@ -186,6 +195,8 @@ object PipelineEntries {
   /** Shared SQL fragments (DuckDB). */
   private val toksE =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+  private val toksLowerE =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
   private val padE = "(' ' || lower(text) || ' ')"
   private def occ(w: String): String =
     s"CAST((length($padE) - length(replace($padE, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
@@ -237,6 +248,29 @@ object PipelineEntries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normE) AS fp FROM documents",
+
+    "text_term_freq" ->
+      s"""SELECT g AS token, count(*) AS freq FROM (
+            SELECT unnest($toksLowerE) AS g FROM documents)
+          GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 100""",
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksLowerE) AS token FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token,
+              CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(dfx.df AS DOUBLE)) AS tfidf
+            FROM tf JOIN dfx USING (token) CROSS JOIN n),
+          sel AS (
+            SELECT doc_id AS id, token, tfidf,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token ASC) AS rn
+            FROM scored)
+          SELECT id, token, round(tfidf, 4) AS tfidf FROM sel
+          WHERE rn <= 3 AND id < 50""",
 
     "dedup_exact" ->
       s"""SELECT md5($normE) AS fp, min(doc_id) AS keep_id,

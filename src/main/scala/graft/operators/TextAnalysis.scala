@@ -144,6 +144,37 @@ object TextAnalysis {
       .drop("__kh")
   }
 
+  /** Corpus-wide term frequencies: explode tokens, count, keep the top-k
+    * (deterministic tiebreak on the token). One shuffle with map-side
+    * combine; the classic vocabulary-building primitive. */
+  def termFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(fcount(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** TF-IDF: per-document top terms by tf * ln(N / df). Two shuffles
+    * (document frequencies, then the per-doc rank); idf is computed once
+    * per distinct token and joined back — never recomputed per posting. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topPerDoc: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val postings = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("id"), col("token")).agg(fcount(lit(1)).as("tf"))
+    val n = df.count().toDouble
+    val dfreq = postings.groupBy(col("token"))
+      .agg(fcount(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n) / col("df").cast("double")))
+    val scored = postings.join(dfreq, "token")
+      .withColumn("tfidf", col("tf").cast("double") * col("idf"))
+    Relational.topKPerGroup(scored, Seq("id"),
+        Seq(("tfidf", true), ("token", false)), topPerDoc)
+      .select(col("id"), col("token"), round(col("tfidf"), 4).as("tfidf"))
+  }
+
   /** Convenience: full per-document text-analysis projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
