@@ -140,6 +140,13 @@ object PipelineEntries {
         .select(col("media_id"), col("n_chunks").cast(LongType).as("n_chunks"),
           size(col("kept_chunks")).cast(LongType).as("n_kept"))),
 
+    // deterministic train/eval split: reproducible 10% sample by id
+    // modulus — the split a training pipeline can re-derive at any time
+    // on any engine (unlike rand()-based sampling)
+    "ext_deterministic_split" -> ((s, dir) =>
+      docs(s, dir).filter(pmod(col("doc_id"), lit(100)) < 10)
+        .select(col("doc_id"), col("lang"))),
+
     // stratified cap: at most 50 docs per language (deterministic by
     // doc_id) — the language-rebalancing primitive of corpus curation;
     // one shuffle via window rank, no collect
@@ -384,6 +391,9 @@ object PipelineEntries {
            CAST(len(list_filter(generate_series(0, CAST(greatest(n_chunks - 1, 0) AS BIGINT)),
              i -> i % 4 = 0)) AS BIGINT) AS n_kept
          FROM m""",
+
+    "ext_deterministic_split" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10",
 
     "ext_stratified_cap" ->
       """SELECT doc_id, lang FROM (

@@ -25,13 +25,11 @@ final class Engine(
     val aggregates: Seq[AggTableDef] = Nil,
     cacheResults: Boolean = true) {
 
+  import Engine._
+
   val cache = new ResultCache()
 
   /** Which path executed the last query — exposed for tests/inspection. */
-  sealed trait Route
-  case object CacheHit extends Route
-  final case class Routed(table: String) extends Route
-  case object Scanned extends Route
   @volatile var lastRoute: Route = Scanned
 
   def execute(q: Query): DataFrame = {
@@ -82,6 +80,11 @@ final class Engine(
 }
 
 object Engine {
+  sealed trait Route
+  case object CacheHit extends Route
+  final case class Routed(table: String) extends Route
+  case object Scanned extends Route
+
   /** Convenience: engine over a plain directory of parquet tables. */
   def forDir(spark: SparkSession, dir: String): Engine =
     new Engine(spark, graft.schema.DirCatalog(dir))
