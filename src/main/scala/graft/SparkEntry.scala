@@ -208,6 +208,7 @@ object SparkEntry {
 
     "s1_csv_strict" -> ((s, dir) => csvRoundtrip(s, dir, permissive = false)),
     "s2_csv_permissive" -> ((s, dir) => csvRoundtrip(s, dir, permissive = true)),
+    "s8_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
 
     // ---- S3/S4 + routing: prepared layout (partitionBy(type,day) ZSTD
     // ---- parquet + rollup tables), aggregate router with containment
@@ -379,6 +380,27 @@ object SparkEntry {
       count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
   }
 
+  /** JSON-lines roundtrip: events -> .jsonl (microsecond timestamps) ->
+    * schema'd read -> aggregate. The JSON source/sink pair every
+    * pipeline needs beside CSV/parquet. */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = tbl(s, dir, "events").drop("props")
+    val name = new java.io.File(dir).getName
+    val outDir = s"/root/repo/target/tmp/events_jsonl_$name"
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+      src.write.mode("overwrite").option("timestampFormat", tsFmt).json(outDir)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val read = graft.schema.EventTime.withDerived(
+      s.read.schema(schema).option("timestampFormat", tsFmt).json(s"$outDir/*.json"))
+    round4(read.groupBy(col("day")).agg(
+      count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Derived-column SQL fragments (DuckDB). */
@@ -430,6 +452,8 @@ object SparkEntry {
     "s1_csv_strict" ->
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "s2_csv_permissive" ->
+      s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "s8_jsonl_roundtrip" ->
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "route_reagg_type" ->
       "SELECT event_type, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value, count(*) AS cnt FROM events GROUP BY 1",

@@ -85,6 +85,15 @@ class CatalystRuleSpec extends SparkSpec {
     assert(rule.fired == before, "unsound rewrite fired (non-measure agg)")
   }
 
+  test("GraftExtensions injects the rewrite rule via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.catalyst.GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.graftbridge.ColumnBridge
+      .builtOptimizerRules(ext, spark)
+    assert(rules.exists(_.isInstanceOf[AggRewriteRule]),
+      s"injected rules: ${rules.map(_.getClass.getName)}")
+  }
+
   test("fires for spark.sql text queries too") {
     rule
     factDf.createOrReplaceTempView("fact_events")
