@@ -40,6 +40,21 @@ object AnalyticsEntries {
       events(s, dir).cube(col("event_type"), col("week"))
         .agg(count(lit(1)).as("cnt"))),
 
+    "ext_grouping_sets" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("ev_gs")
+      s.sql("""SELECT event_type, day, count(*) AS cnt FROM ev_gs
+               GROUP BY GROUPING SETS ((event_type), (day), ())""")
+    }),
+
+    // statistical aggregates: sample stddev/variance, covariance,
+    // Pearson correlation
+    "ext_stats_agg" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cv"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))),
+
     "ext_pivot" -> ((s, dir) =>
       events(s, dir).groupBy(col("day"))
         .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
@@ -122,6 +137,15 @@ object AnalyticsEntries {
       ("SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week, " +
        "count(*) AS cnt FROM events " +
        "GROUP BY CUBE(event_type, CAST(date_trunc('week', ts) AS DATE))"),
+    "ext_grouping_sets" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events " +
+       "GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())"),
+    "ext_stats_agg" ->
+      ("SELECT event_type, round(stddev_samp(value), 4) AS sd, " +
+       "round(var_samp(value), 4) AS vr, " +
+       "round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv, " +
+       "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS cr " +
+       "FROM events GROUP BY 1"),
     "ext_pivot" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
        "round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, " +

@@ -58,6 +58,39 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: byte-stride downsample standing in for an image
+    * resize — a real pipeline swaps the loop body for the decoder call;
+    * the mapPartitions batch shape (amortized per-partition setup) is
+    * the part that matters. */
+  def resizeStub(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+        Row(r.getLong(0), out, out.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Partition sizing for blob tables: compute total payload bytes (one
+    * aggregate pass) and repartition so each partition holds roughly
+    * `targetPartitionBytes` — the knob that keeps a media partition
+    * inside executor memory at any corpus size. */
+  def repartitionForMedia(media: DataFrame,
+                          targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val total = media.agg(sum(octet_length(col("blob")).cast(LongType)))
+      .collect()(0).getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
+    media.repartition(parts)
+  }
+
   /** Deterministic frame/chunk sampling: split a blob into fixed-size
     * chunks and keep every `stride`-th — the shape of video frame
     * sampling, as pure array expressions. */

@@ -151,6 +151,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize stub halves-ish payloads; repartition sizes by bytes") {
+    val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
+    val resized = Multimodal.resizeStub(spark, media, stride = 4).collect()
+    val orig = media.select(col("media_id"), col("meta.n_bytes").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    resized.foreach { r =>
+      val expect = (orig(r.getLong(0)) + 3) / 4
+      assert(r.getLong(2) == expect)
+    }
+    val repart = Multimodal.repartitionForMedia(media, targetPartitionBytes = 2048)
+    assert(repart.rdd.getNumPartitions >= 2) // ~10KB of text over 2KB targets
+  }
+
   test("streaming sessionizer equals batch sessionization") {
     val ev = graft.schema.DirCatalog(sfDir).table(spark, "events")
       .select(col("user_id"), col("ts"))
