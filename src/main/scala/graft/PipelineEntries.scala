@@ -91,7 +91,7 @@ object PipelineEntries {
     // scale path: df-capped candidate blocking, exact verification
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBlocked(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.3, dfCap = 50)),
+        n = 3, threshold = 0.3, dfCap = 30)),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
@@ -345,7 +345,7 @@ object PipelineEntries {
          inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
          dfc AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
          inv2 AS (SELECT inv.doc_id, inv.g FROM inv JOIN dfc USING (g)
-                  WHERE c BETWEEN 2 AND 50),
+                  WHERE c BETWEEN 2 AND 30),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id),
          wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
