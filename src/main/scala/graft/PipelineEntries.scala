@@ -62,6 +62,27 @@ object PipelineEntries {
           size(col("sketch")).cast(LongType).as("n_sketch"),
           array_min(col("sketch")).as("sketch_min"))),
 
+    // GPT-2-style pre-tokenizer segment counting (RE2-safe regex, so the
+    // oracle segments identically)
+    "text_token_bpe_regex" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountBpeRegex(col("text")).as("n_segments"))),
+
+    // int8-quantized embeddings: codes + reconstruction fidelity
+    "ext_quantize_int8" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val ranges = graft.operators.Quantization.trainRanges(e, "embedding")
+      e.select(col("vec_id"),
+          graft.operators.Quantization.encode(col("embedding"), ranges).as("codes"),
+          col("embedding"))
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          round(Similarity.cosine(col("embedding"), col("embedding")), 4).as("self_cos"),
+          round(graft.operators.Quantization.cosineQuantized(
+            col("codes"), col("codes"), ranges), 4).as("self_cos_q"))
+    }),
+
     // corpus vocabulary: top-100 tokens by frequency
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
@@ -255,6 +276,11 @@ object PipelineEntries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normE) AS fp FROM documents",
+
+    "text_token_bpe_regex" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+       "' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) " +
+       "AS n_segments FROM documents"),
 
     "text_term_freq" ->
       s"""SELECT g AS token, count(*) AS freq FROM (

@@ -37,6 +37,14 @@ object TextAnalysis {
       lit(0L),
       (acc, w) => acc + greatest(lit(1L), ceil(length(w) / lit(6.0)).cast(LongType)))
 
+  /** GPT-2-style pre-tokenizer segment count: letter runs, digit runs,
+    * and punctuation runs (each with optional leading space) — the
+    * lookaround-free subset of the GPT-2 regex, deliberately
+    * RE2-compatible so any engine segments identically. */
+  val bpeRegex = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  def tokenCountBpeRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeRegex), lit(0))).cast(LongType)
+
   /** Non-overlapping occurrence count of literal `needle` in `hay`:
     * (len(hay) - len(replace(hay, needle, ''))) / len(needle). Uses plain
     * replace (no regex) so any engine counts identically. */

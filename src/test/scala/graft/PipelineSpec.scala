@@ -106,6 +106,37 @@ class PipelineSpec extends SparkSpec {
     assert(aggSalted == aggPlain)
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved") {
+    import graft.operators.Quantization
+    val ranges = Quantization.trainRanges(embeddings, "embedding")
+    val pairs = embeddings.limit(50).crossJoin(
+        embeddings.limit(50).select(col("vec_id").as("id2"),
+          col("embedding").as("emb2")))
+      .filter(col("vec_id") < col("id2"))
+    val stats = pairs.select(
+        Similarity.cosine(col("embedding"), col("emb2")).as("exact"),
+        Quantization.cosineQuantized(
+          Quantization.encode(col("embedding"), ranges),
+          Quantization.encode(col("emb2"), ranges), ranges).as("approx"))
+      .agg(max(abs(col("exact") - col("approx"))).as("max_err"))
+      .collect()(0).getDouble(0)
+    // 8-bit/dim on 64 dims: cosine error well under 0.02
+    assert(stats < 0.02, s"quantized cosine max error: $stats")
+
+    // roundtrip: every decoded component within half a quantization step
+    val err = embeddings.limit(100).select(
+        Quantization.decode(
+          Quantization.encode(col("embedding"), ranges), ranges).as("dec"),
+        col("embedding"))
+      .select(aggregate(
+        zip_with(col("dec"), col("embedding"),
+          (d, o) => abs(d - o.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("e"))
+      .agg(max(col("e"))).collect()(0).getDouble(0)
+    val maxStep = ranges.map { case (mn, mx) => (mx - mn) / 255.0 }.max
+    assert(err <= maxStep * 0.5 + 1e-9, s"reconstruction error $err > half-step")
+  }
+
   test("native codegen cosine is bit-identical to the composable form") {
     val pairs = embeddings.limit(100).crossJoin(
         embeddings.limit(100).select(col("vec_id").as("id2"),
