@@ -46,6 +46,12 @@ object AnalyticsEntries {
                GROUP BY GROUPING SETS ((event_type), (day), ())""")
     }),
 
+    // fixed-width histogram of the value distribution
+    "ext_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // statistical aggregates: sample stddev/variance, covariance,
     // Pearson correlation
     "ext_stats_agg" -> ((s, dir) =>
@@ -140,6 +146,9 @@ object AnalyticsEntries {
     "ext_grouping_sets" ->
       ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events " +
        "GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())"),
+    "ext_histogram" ->
+      ("SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt " +
+       "FROM events GROUP BY 1"),
     "ext_stats_agg" ->
       ("SELECT event_type, round(stddev_samp(value), 4) AS sd, " +
        "round(var_samp(value), 4) AS vr, " +
