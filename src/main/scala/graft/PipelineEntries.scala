@@ -151,9 +151,14 @@ object PipelineEntries {
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"))),
 
+    // flattened to 16 scalar bins: harness comparators sort rows with
+    // pandas, which cannot hash an array-valued column
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
-        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))),
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id") +: col("n_bytes") +:
+          (0 until 16).map(i =>
+            element_at(col("features"), i + 1).as(s"f$i")): _*)),
 
     "mm_chunks" -> ((s, dir) =>
       Multimodal.sampleChunks(
@@ -409,6 +414,22 @@ object PipelineEntries {
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""",
 
+    // the byte-bucket histogram restated over hex pairs: high nibble of
+    // byte i == first hex char of pair i, so bin k = count of pairs whose
+    // first char is hex digit k (DuckDB hex() is uppercase)
+    "mm_features" -> {
+      val bins = (0 until 16).map { k =>
+        val d = Integer.toHexString(k).toUpperCase
+        s"CAST(len(list_filter(bs, b -> b[1] = '$d')) AS BIGINT) AS f$k"
+      }.mkString(",\n           ")
+      s"""WITH p AS (SELECT doc_id,
+             regexp_extract_all(hex(encode(text)), '..') AS bs
+           FROM documents)
+         SELECT doc_id AS media_id, CAST(len(bs) AS BIGINT) AS n_bytes,
+           $bins
+         FROM p"""
+    },
+
     "mm_chunks" ->
       """WITH m AS (SELECT doc_id,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
@@ -442,8 +463,10 @@ object PipelineEntries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          s AS (
            SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB sum(INTEGER) is HUGEINT, which pandas turns
+             -- into float64 ("3.0" vs Spark's "3" under a str compare)
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
@@ -453,7 +476,7 @@ object PipelineEntries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2"""
-    // text_winnowing, dedup_minhash, dedup_simhash, ann_lsh_topk,
-    // mm_features: rows-only (no faithful SQL restatement exists)
+    // text_winnowing, dedup_minhash, dedup_simhash, ann_lsh_topk:
+    // rows-only (no faithful SQL restatement exists)
   )
 }

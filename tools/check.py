@@ -22,6 +22,23 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+def kindsig(df):
+    """Dtype-kind signature per (sorted) column: the driver stringifies
+    values dtype-sensitively, so an int64 Spark column vs a float64 oracle
+    column (e.g. DuckDB HUGEINT -> pandas float64) hash-mismatches even
+    when %.10g-formatted values agree. Compare kinds, not just values."""
+    return {c: df[c].dtype.kind for c in sorted(df.columns)}
+
+def arraycols(df):
+    """Array-valued columns crash the driver's pandas sort (unhashable
+    numpy.ndarray) — outputs must be scalar-only."""
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            bad.append(c)
+    return bad
+
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
@@ -50,6 +67,10 @@ for name in spark_names:
         fails.append((name, "no spark output parquet"))
         continue
     sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    arrc = arraycols(sdf)
+    if arrc:
+        fails.append((name, f"array-typed output columns (driver sort crashes): {arrc}"))
+        continue
     if name not in oracle:
         status = "rows-only"
         ok = len(sdf) >= 0
@@ -64,6 +85,11 @@ for name in spark_names:
     ocols, orows = canon(odf)
     if scols != ocols:
         fails.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
+        continue
+    sk, ok_ = kindsig(sdf), kindsig(odf)
+    if sk != ok_:
+        diff = {c: (sk[c], ok_[c]) for c in sk if sk[c] != ok_[c]}
+        fails.append((name, f"dtype-kind mismatch (spark, oracle): {diff}"))
         continue
     if len(srows) != len(orows):
         fails.append((name, f"row count: spark={len(srows)} oracle={len(orows)}"))
