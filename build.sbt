@@ -10,11 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
-// Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
-// prefixes every line with "[info] ", which breaks machine consumers that
-// parse the one-line JSON emitted by graft.Bench / graft.Verify.
-run / outputStrategy := Some(StdoutOutput)
+// Unscoped on purpose: `runMain` does NOT delegate to `run /`-task-scoped
+// settings (task axis run != runMain), so a bare `run / fork := true` left
+// `sbt 'runMain graft.Bench'` running un-forked inside the sbt JVM with
+// LoggedOutput — every stdout line got an "[info] " prefix, which breaks
+// machine consumers that parse the one-line JSON from graft.Bench.
+fork := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

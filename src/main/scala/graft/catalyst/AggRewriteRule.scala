@@ -182,11 +182,15 @@ case class AggRewriteRule(
       case a: AttributeReference =>
         attrOf(a.name).map(n => Alias(n, a.name)(exprId = a.exprId))
           .getOrElse(return None)
-      case al @ Alias(AggregateExpression(fn, _, _, _, _), name) =>
+      // isDistinct=false and filter=None only: COUNT(DISTINCT m) and
+      // `agg FILTER (WHERE ...)` cannot be answered from rollup partials
+      // (partial sums lose per-row distinctness / the filter predicate),
+      // so they must fall through to the scan path untouched.
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
         rewriteAggFn(fn, d, attrOf)
           .map(e => Alias(e, name)(exprId = al.exprId))
           .getOrElse(return None)
-      case al @ Alias(Cast(AggregateExpression(fn, _, _, _, _), dt, tz, ansi), name) =>
+      case al @ Alias(Cast(AggregateExpression(fn, _, false, None, _), dt, tz, ansi), name) =>
         rewriteAggFn(fn, d, attrOf)
           .map(e => Alias(Cast(e, dt, tz, ansi), name)(exprId = al.exprId))
           .getOrElse(return None)

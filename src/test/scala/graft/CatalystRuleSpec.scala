@@ -85,6 +85,41 @@ class CatalystRuleSpec extends SparkSpec {
     assert(rule.fired == before, "unsound rewrite fired (non-measure agg)")
   }
 
+  test("refuses rewrite for DISTINCT aggregates (countDistinct over a measure)") {
+    rule
+    val before = rule.fired
+    val df = factDf.groupBy(col("event_type"))
+      .agg(count_distinct(col("value")).as("d"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rule.fired == before, "unsound rewrite fired (COUNT DISTINCT)")
+    // and the values are the true distinct counts, not rollup partial sums
+    val raw = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val expect = raw.groupBy(col("event_type"))
+      .agg(count_distinct(col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("refuses rewrite for FILTER (WHERE ...) aggregates") {
+    rule
+    factDf.createOrReplaceTempView("fact_events")
+    val before = rule.fired
+    val df = spark.sql(
+      """SELECT event_type,
+           sum(value) FILTER (WHERE value > 100) AS s
+         FROM fact_events GROUP BY event_type""")
+    val got = df.collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    assert(rule.fired == before, "unsound rewrite fired (agg FILTER clause)")
+    val raw = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    raw.createOrReplaceTempView("raw_events")
+    val expect = spark.sql(
+      """SELECT event_type,
+           sum(value) FILTER (WHERE value > 100) AS s
+         FROM raw_events GROUP BY event_type""")
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    assert(got == expect)
+  }
+
   test("GraftExtensions injects the rewrite rule via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.catalyst.GraftExtensions().apply(ext)
