@@ -66,11 +66,11 @@ final class Engine(
       val rows = df.collect()
       val out = new java.io.PrintWriter(s"$outDir/q${i + 1}.csv", "UTF-8")
       try {
-        out.println(df.columns.mkString(","))
+        out.println(df.columns.map(csvField).mkString(","))
         rows.foreach { r =>
           out.println(r.toSeq.map {
             case null => ""
-            case v => v.toString
+            case v => csvField(v.toString)
           }.mkString(","))
         }
       } finally out.close()
@@ -80,6 +80,14 @@ final class Engine(
 }
 
 object Engine {
+
+  /** RFC 4180 field quoting: values containing comma, quote, CR or LF are
+    * wrapped in double quotes with embedded quotes doubled. */
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   sealed trait Route
   case object CacheHit extends Route
   final case class Routed(table: String) extends Route

@@ -32,6 +32,15 @@ final class ResultCache(maxEntries: Int = 256, maxRows: Int = 500000) {
   @volatile var hits: Long = 0
   @volatile var misses: Long = 0
 
+  /** Keys whose results proved over-budget: never probe them again (the
+    * probe itself costs a full execution). LRU-bounded like the cache. */
+  private val tooBig: JMap[String, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new JLinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+        override def removeEldestEntry(e: JMap.Entry[String, java.lang.Boolean]): Boolean =
+          size() > maxEntries
+      })
+
   def get(spark: SparkSession, key: String): Option[DataFrame] =
     Option(lru.get(key)).map { e =>
       hits += 1
@@ -41,11 +50,14 @@ final class ResultCache(maxEntries: Int = 256, maxRows: Int = 500000) {
     }
 
   /** Execute-through: materialize `df` (bounded), cache, return a local
-    * DataFrame. Falls back to the original lazy plan when over budget. */
+    * DataFrame. When over budget, the original lazy plan is returned, so
+    * THE FIRST over-budget execution pays the probe as an extra run; the
+    * key is then negative-cached and never probed again. */
   def put(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
     misses += 1
+    if (tooBig.containsKey(key)) return df
     val taken = df.limit(maxRows + 1).collect()
-    if (taken.length > maxRows) df // too big to pin on the driver
+    if (taken.length > maxRows) { tooBig.put(key, true); df }
     else {
       lru.put(key, Entry(df.schema, taken))
       spark.createDataFrame(
@@ -54,5 +66,5 @@ final class ResultCache(maxEntries: Int = 256, maxRows: Int = 500000) {
     }
   }
 
-  def clear(): Unit = lru.clear()
+  def clear(): Unit = { lru.clear(); tooBig.clear() }
 }

@@ -38,27 +38,36 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofBackward needs at least one payload column")
     val leftCols = left.columns.toSeq
+    // All payload columns travel inside ONE struct marker that is non-null
+    // for every right row: last(__m, ignoreNulls) then keys off "a right
+    // row exists at or before this ts", not off the payload value — a
+    // matched right row whose payload IS NULL stays NULL (merge_asof /
+    // DuckDB ASOF semantics) instead of leaking an older non-null value.
+    val mType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     // side 0 = right (sorts before left at equal ts -> inclusive <=)
     val rightTagged = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        struct(payload.map(col): _*).as("__m")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val leftTagged = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(mType).as("__m")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val unioned = rightTagged.unionByName(leftTagged)
+    // __m as the final sort key makes right-row ties at equal __ts
+    // deterministic: the max payload struct wins (field-by-field order)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__m").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__c", last(col("__m"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(
         (keys.map(col) :+ col("__ts").as(leftTs)) ++
           leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col) ++
-          payload.map(c => col(s"__c_$c").as(c)): _*)
+          payload.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

@@ -139,6 +139,10 @@ object Dedup {
       .agg(first(col("hs")).as("hs"), minCols: _*)
       .select(col("id"), col("hs"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // staged once (executor-local blocks, one row per doc): the banded
+      // a/b self-join branches below would otherwise re-run the whole
+      // tokenize->shingle->hash->32-min-agg chain once per branch
+      .localCheckpoint(false)
     val banded = withSig.select(
         col("id"), col("hs"),
         posexplode(bound(col("sig"))(g =>
@@ -212,6 +216,9 @@ object Dedup {
         (0 until 64).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce[Column]((a, c) => a.bitwiseOR(c)).as("sig"))
+      // staged once ((id, sig) — 16 bytes/doc): both banded join branches
+      // reuse it instead of re-running the 64-vote aggregation
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sig"), b * 16)
@@ -240,6 +247,8 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = shingleDf(df, idCol, textCol, n)
       .withColumn("n_sh", size(col("sh")))
+      // staged once: the inverted-index self-join reads inv twice (a/b)
+      .localCheckpoint(false)
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
     val b = inv.select(col("g"), col("id").as("b_id"), col("n_sh").as("b_n"))
@@ -273,6 +282,10 @@ object Dedup {
     // the 2^-64 collision odds are irrelevant at any corpus size
     val hs = sh.select(col("id"),
       bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
+      // staged once: read three times below (inverted index + both
+      // verification sides) — without it each branch re-runs
+      // tokenize+shingle+hash over the full corpus
+      .localCheckpoint(false)
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
     val rare = inv.groupBy(col("g"))
       .agg(collect_list(col("id")).as("ids"))
@@ -285,8 +298,16 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
     val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
     val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+    // intersection evaluated ONCE into a bound attribute (jaccard() would
+    // compute array_intersect twice: numerator + union denominator)
     candidates.join(aSh, "a_id").join(bSh, "b_id")
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh")))
+          .cast(DoubleType).as("inter"),
+        (size(col("a_sh")) + size(col("b_sh"))).cast(DoubleType).as("tot"))
+      .withColumn("jaccard",
+        when(col("tot") - col("inter") > 0,
+          col("inter") / (col("tot") - col("inter"))).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -328,9 +349,19 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nbr_label"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val relaxed = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: replace each label with its OWN label (labels are
+      // doc ids, so they appear in the id column). Halves the distance to
+      // the component min per round -> O(log diameter) total rounds, so
+      // maxIter=10 covers diameters past 2^10 instead of just 10.
+      val updated = relaxed
+        .join(relaxed.select(col("id").as("cluster_id"),
+            col("cluster_id").as("jump")), Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true) // one materialization per round
       // convergence check runs over the two checkpointed label sets —
@@ -343,6 +374,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent partial result would yield WRONG clusters downstream
+    if (!converged) throw new IllegalStateException(
+      s"dedup cluster label propagation did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ log2 of component diameter)")
     labels
   }
 

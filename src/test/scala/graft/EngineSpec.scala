@@ -178,4 +178,48 @@ class EngineSpec extends SparkSpec {
     val second = e2.executeJson(json).collect().toSet
     assert(e2.cache.hits == h0 + 1 && first == second)
   }
+
+  test("runBatch CSV output is RFC 4180-quoted (commas, quotes, newlines)") {
+    import SparkSpecBase.implicits._
+    val df = Seq(("a,b", """say "hi""""), ("line1\nline2", "plain"))
+      .toDF("c1", "c2")
+    val cat = new graft.schema.Catalog {
+      def table(s: org.apache.spark.sql.SparkSession, n: String) = df
+    }
+    val eng = new Engine(spark, cat)
+    val outDir = "/root/repo/target/tmp/batch_quoted"
+    eng.runBatch("""[{"select":["c1","c2"],"from":"t",
+      "order_by":[{"col":"c2","dir":"asc"}]}]""", outDir)
+    val text = scala.io.Source.fromFile(s"$outDir/q1.csv").mkString
+    // re-parse with Spark's CSV reader: a round-trip proves well-formedness
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(s"$outDir/q1.csv")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a,b", """say "hi""""), ("line1\nline2", "plain")), text)
+  }
+
+  test("result cache: over-budget results are not probed twice") {
+    val small = new graft.engine.ResultCache(maxRows = 2)
+    import SparkSpecBase.implicits._
+    val base = Seq(1, 2, 3, 4, 5).toDF("x")
+    // count executions via an accumulator-backed side effect
+    val acc = spark.sparkContext.longAccumulator("execs")
+    val df = base.filter(udf((x: Int) => { acc.add(1); true }).apply(col("x")))
+    val r1 = small.put(spark, "k", df)
+    val probes = acc.value // the probe ran the plan once (5 rows > maxRows)
+    assert(probes >= 5)
+    // second put with the same key must NOT probe again
+    small.put(spark, "k", df)
+    assert(acc.value == probes, "over-budget key was probed twice")
+    assert(r1.collect().length == 5) // caller still gets the full result
+  }
+
+  test("distributed cluster propagation (pointer jumping) handles a long chain") {
+    import SparkSpecBase.implicits._
+    // path graph 0-1-2-...-24: diameter 24 >> maxIter, needs O(log n) rounds
+    val pairs = (0L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.clusters(pairs, driverMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 24L).map(i => (i, 0L)).toSet)
+  }
 }

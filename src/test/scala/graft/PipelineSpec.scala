@@ -73,6 +73,27 @@ class PipelineSpec extends SparkSpec {
     assert(got("d").isEmpty)            // key with no right rows at all
   }
 
+  test("asof join: matched NULL payload stays NULL; equal-ts right ties are deterministic") {
+    import SparkSpecBase.implicits._
+    import graft.operators.AsofJoin
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, ts(12), "x"), (1L, ts(30), "y"), (2L, ts(9), "z"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+        (1L, ts(5), Some(50.0)),   // older non-null value
+        (1L, ts(10), None),        // latest match for "x": NULL payload
+        (1L, ts(20), Some(70.0)),
+        (2L, ts(8), Some(1.0)),    // equal-ts tie for "z":
+        (2L, ts(8), Some(2.0)))    //   max payload struct must win
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toMap
+    assert(got("x").isEmpty,
+      "latest right row has NULL payload; must not carry the older 50.0")
+    assert(got("y").contains(70.0))
+    assert(got("z").contains(2.0), "tie at equal ts must pick max payload")
+  }
+
   test("cluster resolution groups transitive near-dup pairs") {
     import SparkSpecBase.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3},{10,11}
