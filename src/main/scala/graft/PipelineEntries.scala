@@ -205,30 +205,65 @@ object PipelineEntries {
     // ---------------------------------------------------------- streaming
 
     "stream_window_agg" -> ((s, dir) => {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      // the file-stream source requires a directory; stage the single
-      // parquet file into one (once per sf dir)
-      val name0 = new java.io.File(dir).getName
-      val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream_$name0")
-      if (!new java.io.File(streamDir, "events.parquet").exists()) {
-        streamDir.mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$streamDir/events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      val stream = StreamOps.parquetStream(s, streamDir.toString,
-        schema, nanosCols = Set("ts"))
-      val agg = StreamOps.windowedAgg(stream)
+      val agg = StreamOps.windowedAgg(eventsStream(s, dir))
       val name = "win_" + java.lang.Integer.toHexString(dir.hashCode)
       val out = StreamOps.runToMemory(s, agg, name)
       out.select(col("window_start"), col("event_type"), col("cnt"),
         round(col("sum_value"), 4).as("sum_value"))
+    }),
+
+    // watermarked streaming dedup: first hit per (user_id, event_type)
+    // wins, state evicted past the watermark. Run with AvailableNow over
+    // the finite input (one file -> one micro-batch, watermark still at
+    // epoch -> nothing evicted), so the emitted KEY SET is exactly the
+    // batch DISTINCT — which is what the oracle checks.
+    "stream_dedup" -> ((s, dir) => {
+      val dd = StreamOps.dedupeStream(eventsStream(s, dir),
+        Seq("user_id", "event_type"), "ts")
+      val name = "sdd_" + java.lang.Integer.toHexString(dir.hashCode)
+      StreamOps.runToMemory(s,
+        dd.select(col("user_id"), col("event_type")), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // stream-stream interval join: each purchase joined to the same
+    // user's clicks within the following 30 minutes, watermarks bounding
+    // both sides' state. Emits every match (append mode), so the output
+    // is arrival-order independent and equals the batch interval join.
+    "stream_join" -> ((s, dir) => {
+      val ev = eventsStream(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+      val joined = StreamOps.intervalJoinStreams(
+        purchases, clicks, "user_id", "l_ts", "r_ts", windowMinutes = 30)
+      val name = "ssj_" + java.lang.Integer.toHexString(dir.hashCode)
+      StreamOps.runToMemory(s,
+        joined.select(col("l_id"), col("r_id")), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
     })
   )
+
+  /** Stage the sf dir's events.parquet into a directory (file-stream
+    * sources require one; once per sf dir) and open it as a stream. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name0 = new java.io.File(dir).getName
+    val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream_$name0")
+    if (!new java.io.File(streamDir, "events.parquet").exists()) {
+      streamDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$streamDir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    StreamOps.parquetStream(s, streamDir.toString, schema,
+      nanosCols = Set("ts"))
+  }
 
   // --------------------------------------------------------------- oracles
 
@@ -594,7 +629,17 @@ object PipelineEntries {
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS cnt, round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'purchase' AND r.event_type = 'click'
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""
     // ann_lsh_topk, ann_ivf_topk: rows-only — output depends on seeded
     // random hyperplanes / trained centroids, which SQL cannot restate
     // faithfully; ScalaTest pins their recall against brute-force truth
