@@ -151,6 +151,16 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // PQ-ADC with exact re-rank — rows-only (codebooks come from Lloyd
+    // iterations; no faithful SQL restatement). Recall pinned by tests.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cb = graft.operators.Quantization.trainPq(e, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      graft.operators.Quantization.pqTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cb)
+    }),
+
     // --------------------------------------------------------- multimodal
 
     "mm_meta" -> ((s, dir) =>

@@ -308,14 +308,21 @@ object Dedup {
     val hs = staged(sh.select(col("id"),
       bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs")), stage)
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    val rare = inv.groupBy(col("g"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
-    val candidates = rare
-      .select(explode(flatten(transform(col("ids"), a =>
-        filter(transform(col("ids"), b => struct(a.as("a"), b.as("b"))),
-          p => p.getField("a") < p.getField("b"))))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    // fully relational candidate generation: df-count the shingles, keep
+    // the rare ones (2..dfCap docs), self-join the capped inverted index.
+    // All whole-stage-codegen'd hash joins/aggs on (long, long) rows, and
+    // — the scale-critical property — no row ever exceeds O(1) size. The
+    // earlier collect_list(ids)-then-explode-pairs variant materialized
+    // one array per shingle BEFORE the size filter, so a stop-shingle
+    // occurring in millions of docs became a single multi-MB row (skew /
+    // OOM hazard at corpus scale); counting first never builds it.
+    val dfc = inv.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, dfCap))
+    val inv2 = inv.join(dfc.select(col("g")), Seq("g"))
+    val candidates = inv2.select(col("g"), col("id").as("a_id"))
+      .join(inv2.select(col("g"), col("id").as("b_id")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
     val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))

@@ -64,4 +64,110 @@ object Quantization {
     val db = decode(b, ranges)
     dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ codebooks: `m` subspaces x `k` centroids x (dim/m) doubles.
+    *
+    * Train = deterministic init (subvectors of the k lowest-id vectors) +
+    * `iters` Lloyd rounds. Each round is ONE distributed pass — encode
+    * every vector (codegen'd argmin per subspace), explode to
+    * (subspace, code, dim, value), average — and only the m*k*(dim/m)
+    * codebook matrix reaches the driver. The corpus never moves: this is
+    * the IVF training shape (Similarity.ivfTrain) applied per-subspace.
+    *
+    * Why PQ at 100 TB: float32 x 1k dims = 4 KB/row; m=8/k=256 PQ codes
+    * are 8 BYTES/row (500x), and ADC search scans codes with per-query
+    * lookup tables — the difference between an ANN index that fits in
+    * cluster memory and one that does not. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    var codebooks: Array[Array[Array[Double]]] = {
+      val rows = corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Array.tabulate(m)(s => rows.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(col(vecCol).as("v"), posexplode(encodePq(col(vecCol), codebooks)))
+        .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+        .select(col("s"), col("code"),
+          posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub))))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        byKey.get((s, c)) match {
+          case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          case None => codebooks(s)(c) // empty cell keeps its centroid
+        }))
+    }
+    codebooks
+  }
+
+  /** Encode: array of `m` codes, code s = argmin over the subspace-s
+    * codebook of squared L2 to subvector s (ties -> lowest code). All
+    * codebook entries are plan literals — no broadcast state. */
+  def encodePq(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    array((0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      val scored = array(codebooks(s).zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(zip_with(sub, typedlit(c.toSeq),
+              (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(scored).getField("j")
+    }: _*)
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank: per query, a driver-side
+    * lookup table T[s][c] = <q_sub, codebook[s][c]> turns scoring a corpus
+    * row into 2m array lookups (approx cosine = sum_s T[s][code_s] /
+    * (|q| * sqrt(sum_s |cb[s][code_s]|^2))); the `refine`*k ADC survivors
+    * are re-ranked with exact cosine on the float column. Queries are a
+    * small collected set (same contract as bruteForceTopK's broadcast). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
+             refine: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      encodePq(col(vecCol), codebooks).as("codes"))
+    val normFlat = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val perQuery = qRows.map { case (qId, qv) =>
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val dotFlat = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        val qs = qv.slice(s * cb(0).length, (s + 1) * cb(0).length)
+        cb.map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
+      }
+      val lookup = (flat: Array[Double]) =>
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, s) => element_at(typedlit(flat.toSeq), s * kk + code + 1)),
+          lit(0.0), (acc, v) => acc + v)
+      val scored = coded
+        .filter(col("n_id") =!= qId)
+        .withColumn("adc",
+          lookup(dotFlat) / (lit(qNorm) * sqrt(lookup(normFlat))))
+      Relational.topKPerGroup(
+          scored.withColumn("q_id", lit(qId)), Seq("q_id"),
+          Seq(("adc", true), ("n_id", false)), refine * k)
+        .withColumn("cosine", // native cosine requires float arrays
+          Similarity.cosine(typedlit(qv.map(_.toFloat).toSeq), col("n_v")))
+    }
+    val all = perQuery.reduce(_ unionByName _)
+    Relational.topKPerGroup(all, Seq("q_id"),
+        Seq(("cosine", true), ("n_id", false)), k)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+  }
 }

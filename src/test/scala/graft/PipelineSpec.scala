@@ -185,6 +185,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall: $recall")
   }
 
+  test("PQ-ADC with exact re-rank: high recall, deterministic codebooks") {
+    import graft.operators.Quantization
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cb = Quantization.trainPq(embeddings, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val cb2 = Quantization.trainPq(embeddings, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "PQ training is not deterministic")
+    val pq = Quantization.pqTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // the 4k-deep ADC shortlist is re-ranked with exact cosine, so recall
+    // only fails where quantization pushed a true neighbor out of the
+    // shortlist entirely — random 64-d vectors are the worst case and
+    // still clear half
+    assert(recall >= 0.5, s"PQ recall: $recall")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dup docs") {
     val pair = exactPairs.head
     val fp = docs.filter(col("doc_id").isin(pair._1, pair._2))

@@ -127,6 +127,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime Bloom-filter join pruning fires for a selectively-filtered build side") {
+    // At 100 TB the win is big: a selective dim filter becomes a Bloom
+    // filter evaluated INSIDE the fact scan, so non-joining fact rows die
+    // before the shuffle instead of after it. Default thresholds require
+    // a 10 GB application side; lower them so the plan shape is provable
+    // on test data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+      val ord = graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
