@@ -66,6 +66,31 @@ object AnalyticsEntries {
         .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
         .agg(round(sum(col("value")), 4))),
 
+    // skew handling as first-class operators: salted forms are
+    // semantically identical to the plain join/aggregate (which is what
+    // the oracle states), but split each hot key across saltFactor
+    // reducers — the defense when one key holds 1% of 100 TB and AQE's
+    // runtime skew split does not apply (aggregations, non-SMJ plans)
+    "ext_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_tag", concat(lit("t_"), col("event_type")))
+      graft.operators.Relational.saltedJoin(ev, dim, Seq("event_type"),
+          disambig = "event_id", saltFactor = 8)
+        .select(col("event_id"), col("type_tag"))
+    }),
+
+    "ext_salted_agg" -> ((s, dir) =>
+      graft.operators.Relational.saltedAggregate(
+          events(s, dir), Seq("event_type"), disambig = "event_id",
+          aggs = Seq(("sum", "value", "sum_value"),
+            ("count", "event_id", "cnt"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value")))
+        .select(col("event_type"), round(col("sum_value"), 4).as("sum_value"),
+          col("cnt"), round(col("min_value"), 4).as("min_value"),
+          round(col("max_value"), 4).as("max_value"))),
+
     // exact percentiles (linear interpolation — same definition as
     // DuckDB quantile_cont)
     "ext_percentile" -> ((s, dir) =>
@@ -163,6 +188,15 @@ object AnalyticsEntries {
        "round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, " +
        "round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup " +
        "FROM events GROUP BY 1"),
+    "ext_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+           't_' || event_type AS type_tag FROM events)
+         SELECT e.event_id, d.type_tag
+         FROM events e JOIN dim d USING (event_type)""",
+    "ext_salted_agg" ->
+      ("SELECT event_type, round(sum(value), 4) AS sum_value, " +
+       "count(event_id) AS cnt, round(min(value), 4) AS min_value, " +
+       "round(max(value), 4) AS max_value FROM events GROUP BY 1"),
     "ext_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.25), 4) AS p25, " +
        "round(quantile_cont(value, 0.5), 4) AS p50, " +
