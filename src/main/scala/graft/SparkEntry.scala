@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -51,6 +52,8 @@ object SparkEntry {
     * sf dir under target/prepared — exercises Prepare, PreparedCatalog and
     * the aggregate router. */
   private val preparedRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val preparedEngines =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), Engine]
   private[graft] def preparedEngine(s: SparkSession, sfDir: String,
                                     cacheResults: Boolean = true): Engine = {
     val root = preparedRoots.getOrElseUpdate(sfDir, this.synchronized {
@@ -62,7 +65,12 @@ object SparkEntry {
       }
       r
     })
-    new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates(), cacheResults)
+    // ONE long-lived engine per layout (the reference's shape: engine
+    // object + result cache live for the process) — a fresh Engine per
+    // call would discard the ResultCache between queries, turning every
+    // repeat query into a re-execution instead of a LocalRelation hit
+    preparedEngines.getOrElseUpdate((sfDir, cacheResults),
+      new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates(), cacheResults))
   }
 
   private def dslPrepared(json: String, renames: (String, String)*)
@@ -347,6 +355,47 @@ object SparkEntry {
         .except(e.filter(col("event_type") === "signup").select(col("user_id")))
     }),
 
+    // multiset semantics: EXCEPT ALL / INTERSECT ALL keep duplicates
+    "ext_except_all" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .exceptAll(e.filter(col("event_type") === "signup").select(col("user_id")))
+    }),
+
+    "ext_intersect_all" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersectAll(e.filter(col("event_type") === "view").select(col("user_id")))
+    }),
+
+    // analytic window functions: lag/lead deltas + running (cumulative) sum
+    // per user timeline — one shuffle, one sort, all three in one window
+    "ext_window_lag_lead" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+          round(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+            .as("running_sum"))
+    }),
+
+    // first/last value over an ordered frame per group
+    "ext_first_last" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+    }),
+
     // approximate distinct (HLL) — no DuckDB-equivalent result; rows-only
     "ext_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -510,7 +559,28 @@ object SparkEntry {
        "INTERSECT SELECT user_id FROM events WHERE event_type = 'error'"),
     "ext_except" ->
       ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
-       "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup'")
+       "EXCEPT SELECT user_id FROM events WHERE event_type = 'signup'"),
+    "ext_except_all" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
+       "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'signup'"),
+    "ext_intersect_all" ->
+      ("SELECT user_id FROM events WHERE event_type = 'purchase' " +
+       "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'view'"),
+    "ext_window_lag_lead" ->
+      """SELECT event_id, user_id,
+           round(value - lag(value, 1) OVER w, 4) AS delta_prev,
+           round(lead(value, 1) OVER w - value, 4) AS delta_next,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "ext_first_last" ->
+      """SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
     // ext_approx_distinct: intentionally no oracle (approximate result)
   )
 }
