@@ -161,6 +161,14 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, cb)
     }),
 
+    // IVF + PQ composed (the production ANN layout) — rows-only, same
+    // trained-state reasoning; recall pinned by tests
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Quantization.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+    }),
+
     // --------------------------------------------------------- multimodal
 
     "mm_meta" -> ((s, dir) =>

@@ -170,4 +170,57 @@ object Quantization {
         Seq(("cosine", true), ("n_id", false)), k)
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** IVF+PQ — the production ANN layout: an IVF coarse quantizer prunes
+    * the corpus to the query's `nprobe` nearest buckets, PQ-ADC scores
+    * only those candidates from 8-byte codes, exact cosine re-ranks the
+    * shortlist. At 100 TB the scan reads (nprobe/nlist) of the rows and
+    * only the code column — neither full vectors nor full corpus move. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, kCodes: Int = 16, refine: Int = 4): DataFrame = {
+    val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist)
+    val codebooks = trainPq(corpus, idCol, vecCol, m, kCodes)
+    val kk = codebooks(0).length
+    val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("bucket", Similarity.ivfAssign(col("n_v"), centroids))
+      .withColumn("codes", encodePq(col("n_v"), codebooks))
+    val normFlat = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosTo(qv: Array[Double], c: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < qv.length) {
+        val b = c(i).toDouble; dot += qv(i) * b; na += qv(i) * qv(i); nb += b * b; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val perQuery = qRows.map { case (qId, qv) =>
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) => (cosTo(qv, c), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val dotFlat = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        val qs = qv.slice(s * cb(0).length, (s + 1) * cb(0).length)
+        cb.map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
+      }
+      val lookup = (flat: Array[Double]) =>
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, s) => element_at(typedlit(flat.toSeq), s * kk + code + 1)),
+          lit(0.0), (acc, v) => acc + v)
+      val scored = coded
+        .filter(col("bucket").isin(probes: _*) && col("n_id") =!= qId)
+        .withColumn("adc",
+          lookup(dotFlat) / (lit(qNorm) * sqrt(lookup(normFlat))))
+      Relational.topKPerGroup(
+          scored.withColumn("q_id", lit(qId)), Seq("q_id"),
+          Seq(("adc", true), ("n_id", false)), refine * k)
+        .withColumn("cosine",
+          Similarity.cosine(typedlit(qv.map(_.toFloat).toSeq), col("n_v")))
+    }
+    Relational.topKPerGroup(perQuery.reduce(_ unionByName _), Seq("q_id"),
+        Seq(("cosine", true), ("n_id", false)), k)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+  }
 }

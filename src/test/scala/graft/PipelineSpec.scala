@@ -208,6 +208,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall: $recall")
   }
 
+  test("IVF+PQ composed ANN keeps useful recall at a fraction of the scan") {
+    import graft.operators.Quantization
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Quantization.ivfPqTopK(embeddings, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // two approximations compound (bucket pruning x code quantization) on
+    // worst-case random vectors; still must beat random hits by far
+    assert(recall >= 0.3, s"IVF+PQ recall: $recall")
+  }
+
   test("winnowing fingerprint overlaps heavily for near-dup docs") {
     val pair = exactPairs.head
     val fp = docs.filter(col("doc_id").isin(pair._1, pair._2))
