@@ -318,6 +318,40 @@ class PipelineSpec extends SparkSpec {
     assert(keys == Seq(1L, 2L, 3L))
   }
 
+  test("watermark drops late data; on-time late-but-within-threshold rows count") {
+    import SparkSpecBase.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    // hour-aligned base: tumbling windows align to epoch hours
+    def ts(min: Long) = new java.sql.Timestamp(1700002800000L + min * 60000L)
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      window_ = "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("spec_late")
+      .outputMode("append").start()
+    // batch 1: events in hour-0 and hour-3; watermark -> 3h - 30min
+    input.addData((ts(10), "a", 1.0), (ts(20), "a", 2.0), (ts(180), "a", 4.0))
+    q.processAllAvailable()
+    // batch 2: a late-but-above-watermark row (min 170 >= watermark 150,
+    // lands in its still-open hour-2 window) and a hopelessly late row
+    // for hour-0 (below watermark: dropped)
+    input.addData((ts(170), "a", 8.0), (ts(15), "a", 16.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark so all earlier windows finalize
+    input.addData((ts(400), "a", 32.0))
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table("spec_late").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getDouble(3)).toMap
+    // hour-0 window [0,60): only the on-time rows (1+2); 16.0 was dropped
+    assert(byWindow(ts(0).getTime) == 3.0, s"got $byWindow")
+    // hour-2 window [120,180): the accepted late row
+    assert(byWindow(ts(120).getTime) == 8.0, s"got $byWindow")
+    // hour-3 window [180,240): its on-time row only
+    assert(byWindow(ts(180).getTime) == 4.0, s"got $byWindow")
+  }
+
   test("stream-stream interval join matches only within the window") {
     import SparkSpecBase.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
