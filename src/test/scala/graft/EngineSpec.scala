@@ -170,6 +170,77 @@ class EngineSpec extends SparkSpec {
     assert(viaPrepared == direct)
   }
 
+  test("incremental refresh equals full re-prepare (rollups, stats, fact)") {
+    import graft.prepare.Prepare
+    val src = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val half1 = src.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = src.filter(pmod(col("event_id"), lit(2)) === 1)
+    val incRoot = "/root/repo/target/tmp/spec_refresh_inc"
+    val fullRoot = "/root/repo/target/tmp/spec_refresh_full"
+    Prepare.run(spark, half1, incRoot)
+    Prepare.refresh(spark, half2, incRoot)
+    Prepare.run(spark, src, fullRoot)
+
+    def rollup(root: String) =
+      spark.read.parquet(s"$root/aggregates/agg_type_day_value")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          math.round(r.getDouble(2) * 1e4), r.getLong(3), r.getLong(6))).toSet
+    assert(rollup(incRoot) == rollup(fullRoot))
+
+    def fact(root: String) = spark.read.parquet(s"$root/events")
+      .agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val (fi, ff) = (fact(incRoot), fact(fullRoot))
+    assert(fi.getLong(0) == ff.getLong(0) &&
+      math.round(fi.getDouble(1) * 1e3) == math.round(ff.getDouble(1) * 1e3))
+
+    def stats(root: String) = spark.read.parquet(s"$root/stats")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (si, sf) = (stats(incRoot), stats(fullRoot))
+    // approx_users: full prepare uses HLL, refresh derives the EXACT
+    // count from the user rollup — compare the rest
+    (si.keySet - "approx_users").foreach { k =>
+      assert(si(k) == sf(k), s"stat $k: inc=${si(k)} full=${sf(k)}")
+    }
+    // and queries over the refreshed layout route + answer identically
+    val e1 = new graft.engine.Engine(spark,
+      graft.schema.PreparedCatalog(incRoot), Prepare.defaultAggregates())
+    val got = e1.executeJson(
+      """{"select":["event_type",{"SUM":"value"}],"from":"events",
+         "group_by":["event_type"]}""")
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    val expect = src.groupBy(col("event_type")).agg(sum(col("value")))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    assert(got == expect)
+  }
+
+  test("compaction bin-packs fragmented partitions without changing content") {
+    import graft.prepare.Prepare
+    val src = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val root = "/root/repo/target/tmp/spec_compact"
+    // repartition(12) fragments every (type, day) partition into ~12 files
+    Prepare.run(spark, src.repartition(12), root)
+    def leafFileCounts: Seq[Int] = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val subs = Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+        if (subs.isEmpty) Seq(d) else subs.toSeq.flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/events")).map(
+        _.listFiles().count(f => f.getName.startsWith("part-")))
+    }
+    val before = leafFileCounts
+    assert(before.exists(_ > 4), s"fixture not fragmented: $before")
+    val n = Prepare.compact(spark, root, maxFiles = 4)
+    assert(n > 0)
+    val after = leafFileCounts
+    assert(after.forall(_ <= 4), s"still fragmented after compact: $after")
+    // content identical
+    val a = spark.read.parquet(s"$root/events")
+      .agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val b = src.agg(count(lit(1)), sum(col("value"))).collect()(0)
+    assert(a.getLong(0) == b.getLong(0) &&
+      math.round(a.getDouble(1) * 1e3) == math.round(b.getDouble(1) * 1e3))
+  }
+
   test("result cache returns identical rows and hits on re-execution") {
     val e2 = Engine.forDir(spark, sfDir)
     val json = """{"select":["event_type",{"COUNT":"*"}],"from":"events","group_by":["event_type"]}"""
