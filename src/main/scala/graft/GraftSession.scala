@@ -16,6 +16,7 @@ object GraftSession {
 
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.catalyst.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

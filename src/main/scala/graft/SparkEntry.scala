@@ -281,6 +281,69 @@ object SparkEntry {
         count(lit(1)).as("count_order")))
     }),
 
+    // ---- multi-join TPC-H shapes (Catalyst picks join order/strategies;
+    // ---- constants shifted into the fixtures' 1995-2001 date range)
+
+    "tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1997-03-15").cast(TimestampType)
+      val cust = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          round(col("rev"), 4).as("revenue"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"))
+    }),
+
+    "tpch_q5" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      tbl(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(tbl(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(tbl(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    "tpch_q6" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))),
+
+    "tpch_q10" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      tbl(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev"), 4).as("revenue"))
+    }),
+
     "join_broadcast_dim" -> ((s, dir) => {
       val joined = Relational.broadcastDimJoin(
         tbl(s, dir, "orders"), tbl(s, dir, "customer")
@@ -526,6 +589,51 @@ object SparkEntry {
        "round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
        "round(avg(l_discount),4) AS avg_disc, count(*) AS count_order " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "tpch_q3" ->
+      """SELECT l_orderkey, round(rev, 4) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate FROM (
+           SELECT l.l_orderkey, o.o_orderdate,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+           FROM customer c
+           JOIN orders o ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+             AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+           GROUP BY 1, 2)
+         ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1""",
+    "tpch_q6" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, round(rev, 4) AS revenue FROM (
+           SELECT c.c_custkey, c.c_name, n.n_name,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+           FROM customer c
+           JOIN orders o ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l.l_returnflag = 'R'
+           GROUP BY 1, 2, 3)
+         ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
     "join_broadcast_dim" ->
       ("SELECT c.c_mktsegment, count(*) AS cnt, round(sum(o.o_totalprice),4) AS sum_price " +
        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"),

@@ -26,5 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         () => reg.factPath, () => reg.defs,
         name => reg.rollupLoader(name))
     }
+    // SQL surface for the native codegen cosine: any front-end (spark.sql,
+    // JDBC, views) can call cosine_sim(a, b) and get the fused loop
+    extensions.injectFunction(GraftExtensions.cosineSimDescriptor)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+      null, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays " +
+        "(native codegen, double accumulation in index order)", ""),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
+      graft.functions.CosineSimilarity(args(0), args(1))
+    })
 }

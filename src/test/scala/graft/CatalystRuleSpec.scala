@@ -129,6 +129,21 @@ class CatalystRuleSpec extends SparkSpec {
       s"injected rules: ${rules.map(_.getClass.getName)}")
   }
 
+  test("cosine_sim is callable from SQL via the injected function descriptor") {
+    val (ident, info, builder) = graft.catalyst.GraftExtensions.cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql(
+      """SELECT cosine_sim(
+           array(cast(1.0 as float), cast(0.0 as float)),
+           array(cast(1.0 as float), cast(0.0 as float))) AS c,
+         cosine_sim(
+           array(cast(1.0 as float), cast(0.0 as float)),
+           array(cast(0.0 as float), cast(1.0 as float))) AS o""")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
   test("fires for spark.sql text queries too") {
     rule
     factDf.createOrReplaceTempView("fact_events")
