@@ -21,7 +21,8 @@ object Bench {
     "r9_agg_sum", "r13_order_multi", "ext_global_agg",
     "route_reagg_type", "route_residual_filters",
     "scan_partition_pruned",
-    "tpch_q1", "join_shuffle_fact", "join_broadcast_dim",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
+    "join_shuffle_fact", "join_broadcast_dim",
     "ext_window_topk_per_group", "ext_asof_join", "ext_moving_avg",
     "ext_rollup",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_blocked",
