@@ -99,10 +99,15 @@ object AnalyticsEntries {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"))),
 
-    // approximate percentile sketch — rows-only (approximation differs)
+    // GK-sketch percentile. The accuracy knob trades sketch memory for
+    // rank error; at max accuracy the sketch is exact and returns the
+    // same data element as DuckDB's quantile_disc — which is what makes
+    // this oracle-able (production uses accuracy ~1000 for bounded-memory
+    // sketches at unbounded cardinality; same operator, same plan shape)
     "ext_approx_percentile" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type")).agg(
-        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("ap50"))),
+        round(expr(s"approx_percentile(value, 0.5, ${Int.MaxValue})"), 4)
+          .as("ap50"))),
 
     // JSON column extraction (events.props is a JSON string)
     "ext_json_extract" -> ((s, dir) =>
@@ -216,7 +221,9 @@ object AnalyticsEntries {
       ("SELECT s.event_id AS signup_id, p.event_id AS purchase_id " +
        "FROM events s JOIN events p ON s.user_id = p.user_id " +
        "AND s.event_type = 'signup' AND p.event_type = 'purchase' " +
-       "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE")
-    // ext_approx_percentile: rows-only (sketch-specific values)
+       "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE"),
+    "ext_approx_percentile" ->
+      ("SELECT event_type, round(quantile_disc(value, 0.5), 4) AS ap50 " +
+       "FROM events GROUP BY 1")
   )
 }
