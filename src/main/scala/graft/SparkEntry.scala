@@ -59,9 +59,11 @@ object SparkEntry {
     val root = preparedRoots.getOrElseUpdate(sfDir, this.synchronized {
       val name = new java.io.File(sfDir).getName
       val r = s"/root/repo/target/prepared/$name"
-      if (!new java.io.File(s"$r/_PREPARED").exists()) {
+      // marker is versioned with the default-aggregates set: a layout
+      // from an older build (missing a rollup) must rebuild, not break
+      if (!new java.io.File(s"$r/_PREPARED_v2").exists()) {
         Prepare.run(s, graft.sources.ParquetNanos.read(s, s"$sfDir/events.parquet"), r)
-        new java.io.File(s"$r/_PREPARED").createNewFile()
+        new java.io.File(s"$r/_PREPARED_v2").createNewFile()
       }
       r
     })
@@ -229,6 +231,15 @@ object SparkEntry {
          "from":"events","group_by":["event_type"]}""",
       "sum(value)" -> "sum_value", "avg(value)" -> "avg_value",
       "count(*)" -> "cnt"),
+
+    // routed onto the FILTERED rollup (agg_purchase_day): the query's
+    // WHERE contains the rollup's build filter verbatim, so the router's
+    // obligation-1 proof admits the 5x-smaller table
+    "route_filtered_rollup" -> dslPrepared(
+      """{"select":["day",{"SUM":"value"},{"AVG":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"}],
+         "group_by":["day"]}""",
+      "sum(value)" -> "sum_value", "avg(value)" -> "avg_value"),
 
     // routed with residual conditions on rollup keys (containment §4.3 #2-3)
     "route_residual_filters" -> dslPrepared(
@@ -569,6 +580,8 @@ object SparkEntry {
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "route_reagg_type" ->
       "SELECT event_type, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value, count(*) AS cnt FROM events GROUP BY 1",
+    "route_filtered_rollup" ->
+      s"SELECT $dayE AS day, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value FROM events WHERE event_type = 'purchase' GROUP BY 1",
     "route_residual_filters" ->
       s"SELECT $dayE AS day, round(sum(value),4) AS sum_value, count(*) AS cnt FROM events WHERE event_type = 'purchase' AND $dayE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25' GROUP BY 1",
     "route_user_type" ->

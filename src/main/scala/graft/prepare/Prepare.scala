@@ -35,8 +35,17 @@ object Prepare {
     * (prepare_optimized.py:111-266, P5-P10): same shapes, our schema. */
   def defaultAggregates(typeCol: String = "event_type",
                         valueCol: String = "value"): Seq[AggTableDef] = Seq(
-    // P5 daily_revenue: per-day money (reference filters impressions;
-    // here the unfiltered (type, day) cube subsumes it — see P8)
+    // P5 daily_revenue FAITHFULLY: a FILTERED rollup (the reference's
+    // daily_revenue keeps impressions only). Listed first = preferred:
+    // the router proves the build filter appears verbatim in the query
+    // (obligation 1), so only purchase-filtered queries land here, on a
+    // table 5x smaller than the (type, day) cube below.
+    AggTableDef("agg_purchase_day", "events",
+      filter = Seq(graft.dsl.QueryIR.Cond(typeCol, graft.dsl.QueryIR.Eq,
+        Seq(graft.dsl.QueryIR.SLit("purchase")))),
+      keys = Seq("day"), measures = Seq(valueCol)),
+    // the unfiltered (type, day) cube subsumes P5 for every other type
+    // and serves any coarser type/day grouping (see P8)
     AggTableDef("agg_type_day_value", "events", Nil,
       keys = Seq(typeCol, "day"), measures = Seq(valueCol)),
     // P9 advertiser_type_counts analogue: per (user, type) activity cube

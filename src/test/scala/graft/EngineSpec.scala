@@ -107,6 +107,41 @@ class EngineSpec extends SparkSpec {
          "group_by":["minute"]}"""), rollup).isEmpty)
   }
 
+  test("router proves FILTERED-rollup containment (build filter verbatim in query)") {
+    def q(json: String) = QueryJson.parse(json)
+    val filtered = graft.prepare.Prepare.defaultAggregates()
+      .find(_.name == "agg_purchase_day").get
+    // query repeats the build filter: accept, residual empty
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"}],
+         "group_by":["day"]}"""), filtered) == Some(Nil))
+    // extra residual on a rollup key: accept with that residual
+    val res = AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"},
+                  {"col":"day","op":"eq","val":"2024-01-15"}],
+         "group_by":["day"]}"""), filtered)
+    assert(res.isDefined && res.get.map(_.col) == Seq("day"))
+    // DIFFERENT type filter: reject (rollup removed rows the query wants)
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"click"}],
+         "group_by":["day"]}"""), filtered).isEmpty)
+    // NO filter at all: reject (rollup is a strict subset of the fact)
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "group_by":["day"]}"""), filtered).isEmpty)
+    // end-to-end: the engine actually routes there
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    eng.executeJson(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"}],
+         "group_by":["day"]}""").collect()
+    assert(eng.lastRoute == graft.engine.Engine.Routed("agg_purchase_day"),
+      s"route was ${eng.lastRoute}")
+  }
+
   test("routed results equal scanned results (incl. AVG decomposition)") {
     val eng = SparkEntry.preparedEngine(spark, sfDir)
     val json =
