@@ -185,6 +185,15 @@ object PipelineEntries {
           (0 until 16).map(i =>
             element_at(col("features"), i + 1).as(s"f$i")): _*)),
 
+    // stride-4 byte downsample (the stand-in for image resize) — output
+    // pinned by byte count + hex head so the mapPartitions path is
+    // oracle-checked end to end
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s,
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), stride = 4)
+        .select(col("media_id"), col("n_bytes"),
+          substring(hex(col("blob")), 1, 32).as("head_hex"))),
+
     "mm_chunks" -> ((s, dir) =>
       Multimodal.sampleChunks(
           Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))
@@ -601,6 +610,19 @@ object PipelineEntries {
            $bins
          FROM p"""
     },
+
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id,
+           regexp_extract_all(hex(encode(text)), '..') AS bs
+         FROM documents),
+         r AS (SELECT doc_id,
+           list_transform(
+             list_filter(generate_series(1, len(bs)), i -> (i - 1) % 4 = 0),
+             i -> bs[i]) AS kept
+         FROM p)
+         SELECT doc_id AS media_id, CAST(len(kept) AS BIGINT) AS n_bytes,
+           substr(array_to_string(kept, ''), 1, 32) AS head_hex
+         FROM r""",
 
     "mm_chunks" ->
       """WITH m AS (SELECT doc_id,
