@@ -85,6 +85,21 @@ object PipelineEntries {
             col("codes"), col("codes"), ranges), 4).as("self_cos_q"))
     }),
 
+    // PII profile: URL/email occurrence counts + scrubbed-content md5
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiProfile(docs(s, dir), "doc_id", "text")),
+
+    // benchmark decontamination: docs sharing any 8-gram with the
+    // "benchmark" slice (doc_id < 100 stands in for a benchmark corpus).
+    // Excludes the benchmark docs themselves (trivially contaminated).
+    "text_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationCounts(
+          d.filter(col("doc_id") >= 100), "doc_id", "text",
+          d.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"), col("n_contaminated"))
+    }),
+
     // corpus vocabulary: top-100 tokens by frequency
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
@@ -405,6 +420,35 @@ object PipelineEntries {
              AS self_cos,
            round(list_cosine_similarity(d, d), 4) AS self_cos_q
          FROM dec""",
+
+    "text_pii_scrub" ->
+      """SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           md5(regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS fp_scrubbed
+         FROM documents""",
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(generate_series(1, len(t)-7),
+               i -> array_to_string(list_slice(t, i, i+7), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 100),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 100)
+         SELECT c.doc_id, count(*) AS n_contaminated
+         FROM corpus c JOIN bench b ON c.g = b.g
+         GROUP BY 1""",
 
     "text_term_freq" ->
       s"""SELECT g AS token, count(*) AS freq FROM (

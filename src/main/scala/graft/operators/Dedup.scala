@@ -340,6 +340,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * count how many of each document's word n-grams appear anywhere in
+    * the benchmark corpus. Output: (id, n_contaminated) for documents
+    * with at least one hit — drop or audit them before training.
+    *
+    * Scale shape: the benchmark's distinct shingle set is typically tiny
+    * (benchmarks are small); the join is an inverted-index semi-join of
+    * corpus shingles against it — one shuffle keyed by the shingle, or a
+    * broadcast when the benchmark side fits. The corpus is never
+    * self-joined. */
+  def contaminationCounts(docs: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchIdCol: String,
+                          benchTextCol: String, n: Int = 8): DataFrame = {
+    val corpusInv = shingleDf(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+    val benchShingles = shingleDf(benchmark, benchIdCol, benchTextCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+    corpusInv.join(benchShingles, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   // --------------------------------------------------- cluster resolution
 
   /** Resolve near-dup pairs into duplicate clusters (connected

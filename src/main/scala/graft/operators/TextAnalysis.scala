@@ -158,6 +158,29 @@ object TextAnalysis {
       .drop("__kh")
   }
 
+  // ------------------------------------------------------- PII scrubbing
+
+  /** RE2-safe patterns (no lookaround), so any regex engine — including
+    * the DuckDB oracle — matches identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+
+  /** PII profile + scrubbed-content fingerprint: URL occurrences are
+    * replaced first (URLs can embed email-shaped substrings; the reverse
+    * order would scrub inside already-replaced tokens), then emails.
+    * Returns (id, n_urls, n_emails, fp_scrubbed) — the counts drive
+    * routing/reporting, the fingerprint dedups the scrubbed corpus. */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noUrl = regexp_replace(col(textCol), urlRe, "<URL>")
+    val scrubbed = regexp_replace(noUrl, emailRe, "<EMAIL>")
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit(urlRe), lit(0)))
+        .cast(LongType).as("n_urls"),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+        .cast(LongType).as("n_emails"),
+      md5(to_binary(scrubbed, lit("utf-8"))).as("fp_scrubbed"))
+  }
+
   /** Corpus-wide term frequencies: explode tokens, count, keep the top-k
     * (deterministic tiebreak on the token). One shuffle with map-side
     * combine; the classic vocabulary-building primitive. */
