@@ -132,8 +132,26 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iters)
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    ivfTopKFromIndex(
+      ivfBucketedCorpus(corpus, idCol, vecCol, centroids), centroids,
+      queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The corpus side of an IVF index: each vector tagged with its
+    * nearest-centroid bucket. Train once, assign once, persist/write —
+    * at scale this is the partitioned index layout queries probe into. */
+  def ivfBucketedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Seq[Float]]): DataFrame =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
       .withColumn("bucket", ivfAssign(col("n_v"), centroids))
+
+  /** [[ivfTopK]] from a pre-trained index ([[ivfTrain]] centroids +
+    * [[ivfBucketedCorpus]]) — index construction is prepare-phase work;
+    * per-query cost is nprobe bucket joins + exact re-rank only. */
+  def ivfTopKFromIndex(c: DataFrame, centroids: Array[Seq[Float]],
+                       queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
       .select(col("q_id"), col("q_v"),
         explode(ivfProbes(col("q_v"), centroids, nprobe)).as("bucket"))
