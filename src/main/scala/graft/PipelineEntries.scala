@@ -178,6 +178,19 @@ object PipelineEntries {
       Dedup.clusters(
         Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5))),
 
+    // end-to-end dedup materialization: pairs -> clusters -> keep ONE
+    // representative (min doc id) per cluster; the anti-join drops the
+    // rest. This is the corpus a training pipeline actually trains on.
+    "dedup_materialize" -> ((s, dir) => {
+      val cl = Dedup.clusters(
+        Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5))
+      docs(s, dir).join(
+          cl.filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // -------------------------------------------------- similarity search
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -620,6 +633,36 @@ object PipelineEntries {
            UNION
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
+
+    "dedup_materialize" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         clusters AS (
+           SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
 
     "dedup_ngram_blocked" ->
       """WITH toks AS (

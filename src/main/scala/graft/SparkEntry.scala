@@ -355,6 +355,93 @@ object SparkEntry {
           round(col("rev"), 4).as("revenue"))
     }),
 
+    // q4 shape: EXISTS decorrelated to a left-semi join with a non-equi
+    // conjunct (the fixtures lack l_commitdate/l_receiptdate, so "late"
+    // means shipped after the order date)
+    "tpch_q4" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+      val li = tbl(s, dir, "lineitem")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // q12 shape: join + conditional (CASE WHEN) counts; l_returnflag
+    // stands in for the fixtures' missing l_shipmode
+    "tpch_q12" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+    }),
+
+    // q14 shape: conditional-revenue ratio over one month
+    "tpch_q14" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_revenue"))
+    }),
+
+    // q18 shape: large-volume orders — HAVING over a grouped fact, then
+    // joined back to orders + customer
+    "tpch_q18" -> ((s, dir) => {
+      val big = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          round(col("sum_qty"), 4).as("sum_qty"))
+    }),
+
+    // q19 shape: disjunction of brand/size/quantity conjuncts — the
+    // classic OR-of-ANDs predicate the optimizer must evaluate post-join
+    // (it references both sides) while still pushing the partkey equi-key
+    "tpch_q19" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val cond =
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    // value-distribution window functions (ntile/percent_rank/cume_dist)
+    "ext_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      tbl(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+    }),
+
     "join_broadcast_dim" -> ((s, dir) => {
       val joined = Relational.broadcastDimJoin(
         tbl(s, dir, "orders"), tbl(s, dir, "customer")
@@ -647,6 +734,60 @@ object SparkEntry {
              AND l.l_returnflag = 'R'
            GROUP BY 1, 2, 3)
          ORDER BY rev DESC, c_custkey ASC LIMIT 20""",
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate)
+         GROUP BY 1""",
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1""",
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice,
+           round(sum_qty, 4) AS sum_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b
+           ON o.o_orderkey = b.l_orderkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "ext_window_distribution" ->
+      """SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "join_broadcast_dim" ->
       ("SELECT c.c_mktsegment, count(*) AS cnt, round(sum(o.o_totalprice),4) AS sum_price " +
        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"),
