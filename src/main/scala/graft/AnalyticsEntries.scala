@@ -144,6 +144,51 @@ object AnalyticsEntries {
     }),
 
     // range (interval) join: purchases within 5 minutes after a signup
+    // gap-filled per-type daily counts over a data-driven date spine
+    // (sequence bounds come from the data, not constants, so the query
+    // is scale-factor independent); the missing (type, day) cells a
+    // plain groupBy would silently drop come back as explicit zeros
+    "ext_date_spine" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = ev
+        .agg(min(col("ts").cast(DateType)).as("d0"),
+          max(col("ts").cast(DateType)).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(spine)
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
+    // per-group z-score outliers: two-pass curation filter (grouped
+    // moments, then a broadcast join back onto the fact — the fact table
+    // is scanned, never collected)
+    "ext_zscore_outliers" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), round(col("z"), 4).as("zscore"))
+    }),
+
+    // portable hash-based Bernoulli sample (5%): any md5-capable engine
+    // re-derives the identical subset (unlike rand() sampling), and the
+    // hash decorrelates the choice from id-assignment structure (unlike
+    // the id-modulus split of ext_deterministic_split)
+    "ext_sample_hash" -> ((s, dir) =>
+      events(s, dir)
+        .filter(pmod(graft.operators.Dedup.portableHash56(col("event_id")),
+          lit(20)) === 0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))),
+
     "ext_range_join" -> ((s, dir) => {
       val e = events(s, dir)
       val signup = e.filter(col("event_type") === "signup")
@@ -224,6 +269,32 @@ object AnalyticsEntries {
        "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE"),
     "ext_approx_percentile" ->
       ("SELECT event_type, round(quantile_disc(value, 0.5), 4) AS ap50 " +
-       "FROM events GROUP BY 1")
+       "FROM events GROUP BY 1"),
+    "ext_date_spine" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+                    FROM events),
+         spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM b),
+         t AS (SELECT DISTINCT event_type FROM events),
+         daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+                   FROM events GROUP BY 1, 2)
+         SELECT t.event_type, s.day,
+           CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+         FROM t CROSS JOIN spine s
+         LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day""",
+    "ext_zscore_outliers" ->
+      """SELECT event_id, event_type, round(value, 4) AS value,
+           round(z, 4) AS zscore FROM (
+           SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.mu) / s.sigma AS z
+           FROM events e JOIN (
+             SELECT event_type, avg(value) AS mu,
+               stddev_samp(value) AS sigma
+             FROM events GROUP BY 1) s USING (event_type))
+         WHERE abs(z) > 3""",
+    "ext_sample_hash" ->
+      ("SELECT event_id, event_type, round(value, 4) AS value FROM events " +
+       "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT " +
+       "% 20 = 0")
   )
 }

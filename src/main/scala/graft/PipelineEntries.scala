@@ -178,6 +178,28 @@ object PipelineEntries {
       Dedup.clusters(
         Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5))),
 
+    // sub-document exact dedup: 32-token chunks, md5 per chunk, report
+    // chunks occurring more than once across the corpus (the C4-style
+    // boilerplate detector). One shuffle on the 32-hex digest — chunk
+    // text never shuffles.
+    "dedup_chunks" -> ((s, dir) => {
+      import graft.functions.Staging.bound
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("t"))
+      val chunks = toks.select(col("doc_id"),
+        explode(bound(col("t"))(t =>
+          transform(
+            sequence(lit(0),
+              greatest(((size(t) - lit(1)) / lit(32)).cast(IntegerType),
+                lit(0))),
+            i => concat_ws(" ", slice(t, i * lit(32) + lit(1), lit(32))))))
+          .as("chunk"))
+      chunks
+        .groupBy(md5(to_binary(col("chunk"), lit("utf-8"))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("copies"))
+        .filter(col("copies") > 1)
+    }),
+
     // end-to-end dedup materialization: pairs -> clusters -> keep ONE
     // representative (min doc id) per cluster; the anti-join drops the
     // rest. This is the corpus a training pipeline actually trains on.
@@ -633,6 +655,18 @@ object PipelineEntries {
            UNION
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
+
+    "dedup_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         ch AS (
+           SELECT doc_id,
+             md5(array_to_string(list_slice(t, i*32 + 1, i*32 + 32), ' ')) AS fp
+           FROM toks, unnest(generate_series(0,
+             CAST(greatest((len(t)-1)//32, 0) AS BIGINT))) AS u(i))
+         SELECT fp, min(doc_id) AS keep_doc, count(*) AS copies
+         FROM ch GROUP BY 1 HAVING count(*) > 1""",
 
     "dedup_materialize" ->
       """WITH RECURSIVE toks AS (
