@@ -144,6 +144,15 @@ object AnalyticsEntries {
     }),
 
     // range (interval) join: purchases within 5 minutes after a signup
+    // bivariate aggregates: Pearson correlation + sample covariance
+    // (single-pass co-moment form in both engines)
+    "ext_corr" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(corr(col("value"), col("user_id").cast(DoubleType)), 4)
+          .as("corr_value_user"),
+        round(covar_samp(col("value"), col("user_id").cast(DoubleType)), 4)
+          .as("covar_value_user"))),
+
     // gap-filled per-type daily counts over a data-driven date spine
     // (sequence bounds come from the data, not constants, so the query
     // is scale-factor independent); the missing (type, day) cells a
@@ -269,6 +278,11 @@ object AnalyticsEntries {
        "AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE"),
     "ext_approx_percentile" ->
       ("SELECT event_type, round(quantile_disc(value, 0.5), 4) AS ap50 " +
+       "FROM events GROUP BY 1"),
+    "ext_corr" ->
+      ("SELECT event_type, " +
+       "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user, " +
+       "round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_value_user " +
        "FROM events GROUP BY 1"),
     "ext_date_spine" ->
       """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1

@@ -178,6 +178,11 @@ object PipelineEntries {
       Dedup.clusters(
         Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5))),
 
+    // asymmetric containment near-dups: catches short docs embedded in
+    // longer ones, which symmetric jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsFromSigs(docSigs(s, dir), threshold = 0.8)),
+
     // sub-document exact dedup: 32-token chunks, md5 per chunk, report
     // chunks occurring more than once across the corpus (the C4-style
     // boilerplate detector). One shuffle on the 32-hex digest — chunk
@@ -352,6 +357,23 @@ object PipelineEntries {
       StreamOps.runToMemory(s,
         joined.select(col("l_id"), col("r_id")), name,
         org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // stateful streaming sessionizer (flatMapGroupsWithState): with
+    // AvailableNow over the finite input all events arrive in one
+    // micro-batch, so exactly the CLOSED sessions are emitted — every
+    // session except each user's last. The oracle states that same set
+    // relationally (gaps-and-islands minus the per-user max session).
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
+      val sess = StreamOps.sessionizeStream(ev, timeoutMinutes = 30)
+      val name = "ssn_" + java.lang.Integer.toHexString(dir.hashCode)
+      StreamOps.runToMemory(s, sess.toDF(), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
     })
   )
 
@@ -656,6 +678,28 @@ object PipelineEntries {
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
 
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(shared AS DOUBLE) / CAST(least(a_n, b_n) AS DOUBLE), 4)
+             AS containment
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / CAST(least(a_n, b_n) AS DOUBLE) >= 0.8""",
+
     "dedup_chunks" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -833,7 +877,29 @@ object PipelineEntries {
          FROM events l JOIN events r
            ON l.user_id = r.user_id
           AND l.event_type = 'purchase' AND r.event_type = 'click'
-          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""",
+
+    "stream_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM g),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, session_start, session_end, n_events
+         FROM sess
+         WHERE session_id < (SELECT max(session_id) FROM sess s2
+                             WHERE s2.user_id = sess.user_id)"""
     // ann_lsh_topk, ann_ivf_topk: rows-only — output depends on seeded
     // random hyperplanes / trained centroids, which SQL cannot restate
     // faithfully; ScalaTest pins their recall against brute-force truth

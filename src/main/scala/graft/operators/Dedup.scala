@@ -333,6 +333,31 @@ object Dedup {
     ngramJaccardPairsBlockedFromSigs(
       staged(signatures(df, idCol, textCol, n), stage), threshold, dfCap)
 
+  /** Containment pairs from a pre-computed [[signatures]] table:
+    * |A∩B| / min(|A|,|B|) >= threshold. The asymmetric companion of
+    * Jaccard — catches a short document EMBEDDED in a longer one (quote,
+    * boilerplate wrapper, superset page), which symmetric Jaccard
+    * misses because the union is dominated by the longer side. Same
+    * inverted-index join shape as [[ngramJaccardPairsFromSigs]]. */
+  def containmentPairsFromSigs(sigs: DataFrame,
+                               threshold: Double = 0.8): DataFrame = {
+    val sh = sigs.select(col("id"), size(col("hs")).as("n_sh"), col("hs"))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("g"))
+    val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
+    val b = inv.select(col("g"), col("id").as("b_id"), col("n_sh").as("b_n"))
+    a.join(b, Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+      .withColumn("containment",
+        col("shared").cast(DoubleType) /
+          least(col("a_n"), col("b_n")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** [[ngramJaccardPairsBlocked]] from a pre-computed [[signatures]]
     * table. */
   def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,

@@ -95,27 +95,39 @@ object StreamOps {
   /** Custom session state with flatMapGroupsWithState: per-user sessions
     * closed after `timeoutMinutes` of event-time inactivity. Emits a
     * session row whenever a gap closes one (and the trailing session on
-    * state timeout). Batch-equivalent: [[graft.operators.Sessionize]]. */
+    * state timeout). Batch-equivalent: [[graft.operators.Sessionize]].
+    * State timestamps are MICROS since epoch (java.sql.Timestamp.getTime
+    * is millis and would silently truncate parquet micros). */
   def sessionizeStream(events: Dataset[SessionEvent],
                        timeoutMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = timeoutMinutes * 60000L
+    // gap compare on FLOORED SECONDS — the exact semantics of the batch
+    // formulation (unix_timestamp diff) and of DuckDB date_diff('second'),
+    // so stream and batch close sessions on identical boundaries
+    val gapSec = timeoutMinutes * 60L
+    def toUs(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           // sort this micro-batch's events; merge into open session
-          val sorted = evs.map(_.ts.getTime).toSeq.sorted
+          val sorted = evs.map(e => toUs(e.ts)).toSeq.sorted
           var open = state.getOption.flatMap(_.headOption)
           val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
           sorted.foreach { t =>
             open match {
-              case Some(s) if t - s.end <= gapMs =>
+              case Some(s)
+                  if t / 1000000L - s.end / 1000000L <= gapSec =>
                 open = Some(s.copy(end = t, n = s.n + 1))
               case Some(s) =>
-                closed += SessionOut(user, new Timestamp(s.start),
-                  new Timestamp(s.end), s.n)
+                closed += SessionOut(user, toTs(s.start), toTs(s.end), s.n)
                 open = Some(SessionState(t, t, 1))
               case None =>
                 open = Some(SessionState(t, t, 1))
