@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the round-6 TPC-H completions (the
+  * adapted q2/q7/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22 — with these the
+  * full 22-query suite has an entry). Oracle hash-matching is the driver's
+  * job; these pin the *semantics the adaptation must preserve* and the
+  * plan shapes that make them scale.
+  */
+class TpchSuiteSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("all 22 TPC-H queries have an entry and an oracle") {
+    val expected = (1 to 22).map(i => s"tpch_q$i")
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(expected.forall(qs.contains), expected.filterNot(qs.contains))
+    assert(expected.forall(os.contains), expected.filterNot(os.contains))
+  }
+
+  test("q13 left-outer preserves order-less customers: custdist sums to |customer|") {
+    val nCust = graft.sources.ParquetNanos
+      .read(spark, s"$sfDir/customer.parquet").count()
+    val dist = run("tpch_q13")
+    val total = dist.agg(sum(col("custdist"))).head.getLong(0)
+    assert(total == nCust, s"custdist total $total != customers $nCust")
+    // and the zero bucket exists iff some customer has only URGENT orders
+    assert(dist.columns.toSeq == Seq("c_count", "custdist"))
+  }
+
+  test("q15 returns exactly the argmax supplier(s) of the revenue CTE") {
+    val top = run("tpch_q15").select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val byOrder = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      .orderBy(col("rev").desc).limit(1)
+      .collect().map(_.getLong(0)).toSet
+    assert(byOrder.subsetOf(top), s"argmax $byOrder not in q15 result $top")
+  }
+
+  test("q2 rows carry the min acctbal among the part's EUROPE suppliers") {
+    val rows = run("tpch_q2").collect()
+    // every returned (part, acctbal) must equal the recomputed min for that part
+    val li = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+    val sup = graft.sources.ParquetNanos.read(spark, s"$sfDir/supplier.parquet")
+    val nat = graft.sources.ParquetNanos.read(spark, s"$sfDir/nation.parquet")
+    val reg = graft.sources.ParquetNanos.read(spark, s"$sfDir/region.parquet")
+    val euroShipped = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg.filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    val minsDf = euroShipped
+      .groupBy(col("l_partkey")).agg(min(col("s_acctbal")).as("min_bal"))
+    val mins = minsDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getLong(r.fieldIndex("p_partkey"))
+      val bal = r.getDouble(r.fieldIndex("s_acctbal"))
+      assert(math.abs(bal - mins(pk)) < 1e-3, s"part $pk: $bal != ${mins(pk)}")
+    }
+    if (rows.isEmpty) {
+      // sf0.001 legitimately has no size-15 LARGE part with a EUROPE
+      // shipper (the sf0.01 oracle covers the non-empty case); prove the
+      // emptiness comes from the data, not the query
+      val part = graft.sources.ParquetNanos.read(spark, s"$sfDir/part.parquet")
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+      val candidates = part
+        .join(minsDf, col("p_partkey") === col("l_partkey"))
+        .count()
+      assert(candidates == 0L, s"q2 empty but $candidates candidate rows exist")
+    }
+  }
+
+  test("q21 decorrelates to semi/anti joins (no per-row subquery execution)") {
+    val plan = run("tpch_q21").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"), plan)
+    assert(plan.contains("LeftAnti") || plan.contains("ExistenceJoin"), plan)
+  }
+
+  test("q7/q8/q9 broadcast the nation dims instead of shuffling them") {
+    Seq("tpch_q7", "tpch_q8", "tpch_q9").foreach { q =>
+      val plan = run(q).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: $plan")
+    }
+  }
+
+  test("q17 exact-integral predicate agrees with the 0.2*avg formulation") {
+    // quantities are integral, so 5*qty*n < sum  <=>  qty < 0.2*avg exactly
+    // (both sides integer-exact in double arithmetic at this magnitude)
+    val li = graft.sources.ParquetNanos.read(spark, s"$sfDir/lineitem.parquet")
+    val bad = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .withColumn("ok",
+        (lit(5.0) * lit(1.0) * col("n") < col("s")) === // smallest qty = 1 case
+          (lit(1.0) < lit(0.2) * col("s") / col("n")))
+      .filter(!col("ok")).count()
+    assert(bad == 0L)
+  }
+}
