@@ -16,6 +16,8 @@ object AnalyticsEntries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.schema.DirCatalog(dir).table(s, "events")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.ParquetNanos.read(s, s"$dir/$name.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -210,7 +212,67 @@ object AnalyticsEntries {
         .filter(col("purchase_ts") >= col("signup_ts") &&
           col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 5 MINUTES"))
         .select(col("signup_id"), col("purchase_id"))
-    })
+    }),
+
+    // FULL OUTER join of two grouped activity profiles — users appearing
+    // on either side survive, absent side zero-filled via coalesce
+    "ext_full_outer_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("p_cnt"))
+        .withColumnRenamed("user_id", "p_uid")
+      val q = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("e_cnt"))
+        .withColumnRenamed("user_id", "e_uid")
+      p.join(q, col("p_uid") === col("e_uid"), "full_outer")
+        .select(coalesce(col("p_uid"), col("e_uid")).as("user_id"),
+          coalesce(col("p_cnt"), lit(0L)).as("purchases"),
+          coalesce(col("e_cnt"), lit(0L)).as("errors"))
+    }),
+
+    // CROSS join of two small dims into a dense grid, zero-filled from a
+    // fact aggregate — the standard dense-report shape (a cross join is
+    // only ever sane between broadcast-sized sides; the fact side still
+    // arrives via hash join)
+    "ext_cross_join" -> ((s, dir) => {
+      val seg = tbl(s, dir, "customer").select(col("c_mktsegment")).distinct()
+      val grid = broadcast(tbl(s, dir, "region").select(col("r_name")))
+        .crossJoin(broadcast(seg))
+      val counts = tbl(s, dir, "customer")
+        .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      grid.join(counts, Seq("r_name", "c_mktsegment"), "left")
+        .select(col("r_name"), col("c_mktsegment"),
+          coalesce(col("cnt"), lit(0L)).as("n_cust"))
+    }),
+
+    // skew diagnostics: top-10 heavy-hitter keys with their share of all
+    // rows — the profile that decides when a join/agg needs salting. One
+    // map-side-combined count shuffle + a broadcast scalar total.
+    "ext_heavy_hitters" -> ((s, dir) => {
+      val cnt = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum(col("cnt")).as("tot"))
+      cnt.join(broadcast(tot))
+        .select(col("user_id"), col("cnt"),
+          round(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType), 4)
+            .as("share"))
+        .orderBy(col("cnt").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
+    // order-sensitive ARRAY_AGG: per-group sorted distinct id list,
+    // flattened to CSV (the driver compare can't sort array cells) — the
+    // collect stays bounded by the user_id < 20 filter
+    "ext_array_agg" -> ((s, dir) =>
+      events(s, dir).filter(col("user_id") < 20)
+        .groupBy(col("event_type"))
+        .agg(array_join(
+            transform(sort_array(collect_set(col("user_id"))),
+              x => x.cast(StringType)), ",").as("users"),
+          count(lit(1)).as("cnt")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -309,6 +371,36 @@ object AnalyticsEntries {
     "ext_sample_hash" ->
       ("SELECT event_id, event_type, round(value, 4) AS value FROM events " +
        "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT " +
-       "% 20 = 0")
+       "% 20 = 0"),
+    "ext_full_outer_join" ->
+      """SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           CAST(coalesce(p_cnt, 0) AS BIGINT) AS purchases,
+           CAST(coalesce(e_cnt, 0) AS BIGINT) AS errors
+         FROM (SELECT user_id, count(*) AS p_cnt FROM events
+               WHERE event_type = 'purchase' GROUP BY 1) p
+         FULL OUTER JOIN (SELECT user_id, count(*) AS e_cnt FROM events
+               WHERE event_type = 'error' GROUP BY 1) e
+           ON p.user_id = e.user_id""",
+    "ext_cross_join" ->
+      """SELECT g.r_name, g.c_mktsegment,
+           CAST(coalesce(x.cnt, 0) AS BIGINT) AS n_cust
+         FROM (SELECT r_name, c_mktsegment FROM region
+               CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)) g
+         LEFT JOIN (SELECT r.r_name, c.c_mktsegment, count(*) AS cnt
+               FROM customer c
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY 1, 2) x
+           ON g.r_name = x.r_name AND g.c_mktsegment = x.c_mktsegment""",
+    "ext_array_agg" ->
+      """SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+           count(*) AS cnt
+         FROM events WHERE user_id < 20 GROUP BY 1""",
+    "ext_heavy_hitters" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+         SELECT user_id, cnt,
+           round(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM cnt), 4) AS share
+         FROM cnt ORDER BY cnt DESC, user_id ASC LIMIT 10"""
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -132,6 +133,46 @@ object PipelineEntries {
           d.filter(col("doc_id") >= 100), "doc_id", "text",
           d.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
         .select(col("id").as("doc_id"), col("n_contaminated"))
+    }),
+
+    // Gopher-style quality rules: word count, mean word length,
+    // alphabetic-word ratio, stopword presence, combined pass flag
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherSignals(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_ratio"), col("n_stopwords"), col("pass"))),
+
+    // repetition signals: duplicate-token ratio, top-token share,
+    // duplicate-bigram ratio (C4/Gopher repetition filters)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"), col("dup_tok_ratio"),
+          col("top_tok_share"), col("dup_bigram_ratio"))),
+
+    // lateral view / table generator: positional token explode (first 5
+    // tokens per doc) — generator output stays inside whole-stage codegen
+    "ext_posexplode" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(slice(TextAnalysis.tokens(col("text")), 1, 5)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("tok"))),
+
+    // sequence packing: greedy contiguous fill of a 2048-token budget per
+    // language shard (the LLM-pretraining batching primitive). The
+    // running-sum window partitions by shard so no single global sort
+    // bottlenecks the corpus; pack_id = floor((cumsum - n) / budget)
+    // is the streaming first-fit approximation, stated identically in
+    // the oracle.
+    "ext_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .withColumn("cs", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cs") - col("n_tokens")) / lit(2048.0))
+            .cast(LongType).as("pack_id"))
     }),
 
     // corpus vocabulary: top-100 tokens by frequency
@@ -374,6 +415,24 @@ object PipelineEntries {
         org.apache.spark.sql.streaming.OutputMode.Append())
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
+    }),
+
+    // stream-static enrichment: the streaming fact side joined to a
+    // static dimension snapshot (re-read per micro-batch by Spark; here
+    // broadcast — the canonical streaming-ETL enrich). Append mode, no
+    // state: output equals the batch join, which is what the oracle
+    // states.
+    "stream_static_enrich" -> ((s, dir) => {
+      val ev = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 100)
+        .select(col("event_id"), col("user_id"))
+      val dim = graft.sources.ParquetNanos.read(s, s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = ev.join(broadcast(dim), Seq("user_id"))
+      val name = "sse_" + java.lang.Integer.toHexString(dir.hashCode)
+      StreamOps.runToMemory(s,
+        joined.select(col("event_id"), col("user_id"), col("c_mktsegment")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append())
     })
   )
 
@@ -455,6 +514,75 @@ object PipelineEntries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($normE) AS fp FROM documents",
+
+    "text_gopher_rules" -> {
+      val stopFlags = Seq("the", "and", "of", "to", "in", "is", "that")
+        .map(w => s"(CASE WHEN ${occ(w)} > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks, text FROM documents),
+          s AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CASE WHEN len(toks) > 0
+              THEN CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+            CAST($stopFlags AS BIGINT) AS n_stopwords
+          FROM t)
+          SELECT doc_id, n_words,
+            round(mean_word_len, 4) AS mean_word_len,
+            round(alpha_ratio, 4) AS alpha_ratio,
+            n_stopwords,
+            (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND alpha_ratio >= 0.8 AND n_stopwords >= 2) AS pass
+          FROM s"""
+    },
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerE AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+          agg AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+                    max(c) AS top_c FROM cnt GROUP BY 1),
+          bi AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+            CASE WHEN len(toks) >= 2 THEN CAST(len(list_distinct(
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT)
+            ELSE 0 END AS n_bi_distinct
+          FROM t)
+          SELECT a.doc_id, CAST(a.n_tok AS BIGINT) AS n_tok,
+            round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 4)
+              AS dup_tok_ratio,
+            round(CAST(top_c AS DOUBLE) / CAST(n_tok AS DOUBLE), 4)
+              AS top_tok_share,
+            round(CASE WHEN n >= 2
+              THEN 1.0 - CAST(n_bi_distinct AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+              ELSE 0.0 END, 4) AS dup_bigram_ratio
+          FROM agg a JOIN bi USING (doc_id)""",
+
+    "ext_posexplode" ->
+      s"""WITH t AS (SELECT doc_id, toks[1:least(5, len(toks))] AS tk
+            FROM (SELECT doc_id, $toksE AS toks FROM documents
+                  WHERE doc_id < 20))
+          SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+          FROM t""",
+
+    "stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE e.event_type = 'purchase' AND e.user_id < 100""",
+
+    "ext_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($toksE) AS BIGINT) AS n_tokens FROM documents),
+          cum AS (SELECT doc_id, lang, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cs FROM t)
+          SELECT doc_id, lang, n_tokens,
+            CAST(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+          FROM cum""",
 
     "text_token_bpe_regex" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +

@@ -54,6 +54,7 @@ object Dedup {
     shingleOf(TextAnalysis.tokens(lower(text)), n)
 
   /** Shingle expression over an ALREADY-BOUND token-array column. */
+  def wordShingleOf(t: Column, n: Int): Column = shingleOf(t, n)
   private def shingleOf(t: Column, n: Int): Column = {
     val cnt = size(t)
     array_distinct(

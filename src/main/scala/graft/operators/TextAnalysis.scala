@@ -181,6 +181,78 @@ object TextAnalysis {
       md5(to_binary(scrubbed, lit("utf-8"))).as("fp_scrubbed"))
   }
 
+  // ------------------------------------------------- quality-rule signals
+
+  /** Gopher-style per-document quality-rule signals (Rae et al. 2021,
+    * "Scaling Language Models", table A1 filters): word count, mean word
+    * length, alphabetic-word ratio, distinct-stopword presence — plus the
+    * combined pass/fail the pipeline filters on. Pure Column arithmetic
+    * over integer counts with one final division each, so the DuckDB
+    * oracle reproduces every double bit-for-bit. */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.Staging.bound
+    val staged = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+      tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val n = size(t).cast(LongType)
+    val alphaN = size(filter(t, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    val stopDistinct = enStop.map(w =>
+      when(occurrences(padded(col("__txt")), s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    staged.select(col("id"),
+        n.as("n_words"),
+        bound(t) { tt =>
+          val nn = size(tt).cast(LongType)
+          when(nn > 0, aggregate(tt, lit(0L), (acc, w) => acc + length(w))
+            .cast(DoubleType) / nn.cast(DoubleType)).otherwise(lit(0.0))
+        }.as("mean_word_len"),
+        when(n > 0, alphaN.cast(DoubleType) / n.cast(DoubleType))
+          .otherwise(lit(0.0)).as("alpha_ratio"),
+        stopDistinct.as("n_stopwords"))
+      .withColumn("pass",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_ratio") >= 0.8 && col("n_stopwords") >= 2)
+      .select(col("id"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("alpha_ratio"), 4).as("alpha_ratio"),
+        col("n_stopwords"), col("pass"))
+  }
+
+  /** Per-document repetition signals (the C4/Gopher duplicate-content
+    * heuristics): duplicate-token ratio, most-frequent-token share, and
+    * duplicate-bigram ratio. Token stats run relationally
+    * (explode -> count) so the corpus never materializes a per-doc
+    * frequency map; the bigram ratio reuses the distinct-shingle
+    * expression (total bigrams of an n-token doc is just n-1). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val base = df.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("__t"))
+    val perTok = base
+      .select(col("id"), explode(col("__t")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(fcount(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tok"),
+        fcount(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val bigrams = base.select(col("id"),
+      size(col("__t")).cast(LongType).as("n"),
+      when(size(col("__t")) >= 2,
+        size(Dedup.wordShingleOf(col("__t"), 2)).cast(LongType))
+        .otherwise(lit(0L)).as("n_bi_distinct"))
+    perTok.join(bigrams, Seq("id"))
+      .select(col("id"), col("n_tok"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType)
+          / col("n_tok").cast(DoubleType), 4).as("dup_tok_ratio"),
+        round(col("top_c").cast(DoubleType)
+          / col("n_tok").cast(DoubleType), 4).as("top_tok_share"),
+        round(when(col("n") >= 2,
+          lit(1.0) - col("n_bi_distinct").cast(DoubleType)
+            / (col("n") - 1).cast(DoubleType)).otherwise(lit(0.0)), 4)
+          .as("dup_bigram_ratio"))
+  }
+
   /** Corpus-wide term frequencies: explode tokens, count, keep the top-k
     * (deterministic tiebreak on the token). One shuffle with map-side
     * combine; the classic vocabulary-building primitive. */
