@@ -22,12 +22,14 @@ object Bench {
     "route_reagg_type", "route_residual_filters",
     "scan_partition_pruned",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
+    "tpch_q9", "tpch_q13", "tpch_q21",
     "join_shuffle_fact", "join_broadcast_dim",
     "ext_window_topk_per_group", "ext_asof_join", "ext_moving_avg",
     "ext_rollup",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_blocked",
     "dedup_clusters",
-    "ann_brute_topk", "ann_ivf_topk", "sessionize", "text_quality")
+    "ann_brute_topk", "ann_ivf_topk", "sessionize", "text_quality",
+    "text_gopher_rules", "ext_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
