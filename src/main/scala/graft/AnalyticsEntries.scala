@@ -248,6 +248,50 @@ object AnalyticsEntries {
           coalesce(col("cnt"), lit(0L)).as("n_cust"))
     }),
 
+    // RANGE-interval window frame (vs ext_moving_avg's ROWS frame): all
+    // events of the user within the trailing 10 minutes, whatever their
+    // count. Ordered on epoch seconds — Spark's long cast and the
+    // oracle's floor(epoch(ts)) truncate the nanos identically.
+    "ext_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast(LongType))
+        .rangeBetween(-600, 0)
+      events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("cnt_10m"),
+          round(sum(col("value")).over(w), 4).as("sum_10m"))
+    }),
+
+    // argmax with deterministic tiebreak: lexicographic MAX over a
+    // (value, id) struct — one codegen'd agg, no join-back or window
+    "ext_argmax" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(max(struct(col("value").as("v"), col("event_id").as("id")))
+          .as("m"))
+        .select(col("event_type"),
+          round(col("m.v"), 4).as("max_value"),
+          col("m.id").as("arg_event_id"))),
+
+    // boolean aggregates: ALL / ANY / conditional count
+    "ext_bool_agg" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(bool_and(col("value") > 0).as("all_pos"),
+          bool_or(col("value") > 990).as("any_huge"),
+          sum(when(col("value") > 900, 1L).otherwise(0L)).as("n_big"))),
+
+    // UNPIVOT: wide per-day metric columns melted back to long form —
+    // the inverse of ext_pivot, via the native Dataset.unpivot operator
+    "ext_unpivot" -> ((s, dir) => {
+      val wide = events(s, dir).groupBy(col("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+      wide.unpivot(Array(col("day")),
+        Array(col("clicks"), col("purchases"), col("views")),
+        "metric", "cnt")
+    }),
+
     // skew diagnostics: top-10 heavy-hitter keys with their share of all
     // rows — the profile that decides when a join/agg needs salting. One
     // map-side-combined count shuffle + a broadcast scalar total.
@@ -401,6 +445,32 @@ object AnalyticsEntries {
       """WITH cnt AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
          SELECT user_id, cnt,
            round(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM cnt), 4) AS share
-         FROM cnt ORDER BY cnt DESC, user_id ASC LIMIT 10"""
+         FROM cnt ORDER BY cnt DESC, user_id ASC LIMIT 10""",
+    "ext_range_window" ->
+      """SELECT event_id, count(*) OVER w AS cnt_10m,
+           round(sum(value) OVER w, 4) AS sum_10m
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""",
+    "ext_argmax" ->
+      """SELECT event_type, round(m.v, 4) AS max_value, m.id AS arg_event_id
+         FROM (SELECT event_type,
+                 max(struct_pack(v := value, id := event_id)) AS m
+               FROM events GROUP BY 1)""",
+    "ext_bool_agg" ->
+      """SELECT event_type, bool_and(value > 0) AS all_pos,
+           bool_or(value > 990) AS any_huge,
+           CAST(sum(CASE WHEN value > 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+         FROM events GROUP BY 1""",
+    "ext_unpivot" ->
+      """WITH wide AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views
+           FROM events GROUP BY 1)
+         SELECT day, 'clicks' AS metric, clicks AS cnt FROM wide
+         UNION ALL SELECT day, 'purchases', purchases FROM wide
+         UNION ALL SELECT day, 'views', views FROM wide"""
   )
 }
