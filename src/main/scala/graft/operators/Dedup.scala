@@ -162,8 +162,13 @@ object Dedup {
     // array. Whole-stage codegen beats the interpreted
     // aggregate-inside-transform HOF by ~3x, and the map-side partial
     // mins keep the shuffle at one row per doc.
-    val exploded = hs.select(col("id"), col("hs"),
-      explode(col("hs")).as("h0"))
+    // the hs shingle array is NOT carried through the explode or the
+    // banding: per-element/per-band row copies would duplicate the array
+    // ~|shingles|+|bands| times through the min-agg and bucket shuffles
+    // (measured ~20% slower at sf0.1; far worse once the duplication
+    // crosses real network shuffles). Verification joins the signature
+    // table back by id instead — the same shape blocked jaccard uses.
+    val exploded = hs.select(col("id"), explode(col("hs")).as("h0"))
       .withColumn("hp", pmod(col("h0"), lit(MersenneP)))
     val minCols = (0 until numHashes).map { i =>
       min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
@@ -171,25 +176,25 @@ object Dedup {
     }
     val withSig = staged(exploded
       .groupBy(col("id"))
-      .agg(first(col("hs")).as("hs"), minCols: _*)
-      .select(col("id"), col("hs"),
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")), stage)
     val banded = withSig.select(
-        col("id"), col("hs"),
+        col("id"),
         posexplode(bound(col("sig"))(g =>
           transform(sequence(lit(0), lit(numBands - 1)),
             b => xxhash64(concat_ws("_",
               slice(g, b * rowsPerBand + 1, lit(rowsPerBand))), b)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("a_id"), col("hs").as("a_sh"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("b_id"), col("hs").as("b_sh"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    candidates
+    val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
+    val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+    candidates.join(aSh, "a_id").join(bSh, "b_id")
       .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)

@@ -161,10 +161,14 @@ class PlanAuditSpec extends SparkSpec {
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
       "doc_id", "text", 32, 2, 0.5)
     val opt = pairs.queryExecution.optimizedPlan.toString
-    // the pathological shape repeats the tokenizer inside a Filter;
-    // with InferFiltersFromGenerate excluded it appears exactly once
-    // per staged projection
-    val tokenizerCount = "split\\(lower\\(text".r.findAllIn(opt).size
-    assert(tokenizerCount <= 2, s"tokenizer appears $tokenizerCount times:\n${opt.take(2000)}")
+    // the pathological shape (InferFiltersFromGenerate) clones the
+    // tokenize->shingle subtree into a vacuous `Filter (size(...) > 0)`
+    // ahead of every Generate — the tokenizer must never appear inside a
+    // Filter node. (It legitimately appears once per plan BRANCH that
+    // reads the signature table; callers with more than one dedup pass
+    // persist it via the *FromSigs contract.)
+    val filterLines = opt.linesIterator.filter(_.trim.startsWith("Filter "))
+    val vacuous = filterLines.filter(_.contains("split(lower(text")).toSeq
+    assert(vacuous.isEmpty, s"tokenizer inside Filter:\n${vacuous.mkString("\n").take(2000)}")
   }
 }
