@@ -61,9 +61,9 @@ object SparkEntry {
       val r = s"/root/repo/target/prepared/$name"
       // marker is versioned with the default-aggregates set: a layout
       // from an older build (missing a rollup) must rebuild, not break
-      if (!new java.io.File(s"$r/_PREPARED_v2").exists()) {
+      if (!new java.io.File(s"$r/_PREPARED_v3").exists()) {
         Prepare.run(s, graft.sources.ParquetNanos.read(s, s"$sfDir/events.parquet"), r)
-        new java.io.File(s"$r/_PREPARED_v2").createNewFile()
+        new java.io.File(s"$r/_PREPARED_v3").createNewFile()
       }
       r
     })
