@@ -433,6 +433,26 @@ object PipelineEntries {
       StreamOps.runToMemory(s,
         joined.select(col("event_id"), col("user_id"), col("c_mktsegment")),
         name, org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // checkpointed streaming file sink: append-mode parquet with
+    // exactly-once semantics (the offset log + file-commit manifest make
+    // re-runs and AvailableNow restarts idempotent — re-invoking after
+    // completion writes nothing new). The read-back equals the batch
+    // filter, which is what the oracle states.
+    "stream_file_sink" -> ((s, dir) => {
+      val name0 = new java.io.File(dir).getName
+      val outDir = s"/root/repo/target/tmp/stream_sink_$name0"
+      val q = eventsStream(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/data").select(col("event_id"), col("user_id"))
     })
   )
 
@@ -573,6 +593,9 @@ object PipelineEntries {
       """SELECT e.event_id, e.user_id, c.c_mktsegment
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          WHERE e.event_type = 'purchase' AND e.user_id < 100""",
+
+    "stream_file_sink" ->
+      "SELECT event_id, user_id FROM events WHERE event_type = 'error'",
 
     "ext_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang,
