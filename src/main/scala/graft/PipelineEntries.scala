@@ -45,17 +45,31 @@ object PipelineEntries {
       Dedup.signatures(docs(s, dir), "doc_id", "text", n = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Shared-shingle pair-count table (Dedup.pairCountsFromSigs over
+    * [[docSigs]]), persisted once per (session, corpus): the
+    * inverted-index self-join + count aggregation is the single expensive
+    * stage behind EVERY set-overlap near-dup measure — exact Jaccard (two
+    * thresholds: the 0.3 report and the 0.5 cluster edges) and
+    * containment all filter these five integer columns. One join pays for
+    * all of them; each measure is then a codegen'd arithmetic filter.
+    * Same prepare-once-query-many shape as [[docSigs]]. */
+  private val pcCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docPairCounts(s: SparkSession, dir: String): DataFrame =
+    pcCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
+      Dedup.pairCountsFromSigs(docSigs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Shared verified near-dup pair table (exact jaccard >= 0.5 over
-    * [[docSigs]]): cluster resolution and representative materialization
-    * both consume exactly this pair set, so it is materialized once per
-    * (session, corpus) — the dedup-pipeline analogue of a written
-    * `pairs/` artifact at cluster scale. localCheckpoint materializes
-    * the blocks eagerly (executor-local), so neither consumer ever
-    * re-executes the candidate join. */
+    * [[docPairCounts]]): cluster resolution and representative
+    * materialization both consume exactly this pair set, so it is
+    * materialized once per (session, corpus) — the dedup-pipeline
+    * analogue of a written `pairs/` artifact at cluster scale.
+    * localCheckpoint materializes the blocks eagerly (executor-local),
+    * so neither consumer ever re-executes the candidate join. */
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def jaccardPairs05(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
-      Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.5)
+      Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.5)
         .localCheckpoint(true))
 
   /** IVF index (Lloyd-trained centroids + bucketed corpus), built once
@@ -216,7 +230,7 @@ object PipelineEntries {
           col("hamming").cast(LongType).as("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsFromSigs(docSigs(s, dir), threshold = 0.3)),
+      Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.3)),
 
     // scale path: df-capped candidate blocking, exact verification
     "dedup_ngram_blocked" -> ((s, dir) =>
@@ -234,7 +248,7 @@ object PipelineEntries {
     // asymmetric containment near-dups: catches short docs embedded in
     // longer ones, which symmetric jaccard misses
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairsFromSigs(docSigs(s, dir), threshold = 0.8)),
+      Dedup.containmentFromPairCounts(docPairCounts(s, dir), threshold = 0.8)),
 
     // sub-document exact dedup: 32-token chunks, md5 per chunk, report
     // chunks occurring more than once across the corpus (the C4-style

@@ -306,9 +306,21 @@ object Dedup {
     ngramJaccardPairsFromSigs(
       staged(signatures(df, idCol, textCol, n), stage), threshold)
 
-  /** [[ngramJaccardPairs]] from a pre-computed [[signatures]] table. */
-  def ngramJaccardPairsFromSigs(sigs: DataFrame,
-                                threshold: Double = 0.3): DataFrame = {
+  /** Shared-shingle pair counts from a [[signatures]] table: ONE
+    * inverted-index self-join + count aggregation producing
+    * `(a_id, b_id, shared, a_n, b_n)` for every pair sharing at least one
+    * shingle (a < b). Every set-overlap near-dup measure — Jaccard,
+    * containment, overlap coefficient — is a pure arithmetic filter over
+    * these five columns, so a pipeline running several measures (or one
+    * measure at several thresholds) computes this join once, materializes
+    * it, and derives each measure from it ([[jaccardFromPairCounts]],
+    * [[containmentFromPairCounts]]).
+    *
+    * Scale note: the unblocked inverted-index join fans out quadratically
+    * on stop-shingles; at corpus scale generate candidates with
+    * [[ngramJaccardPairsBlockedFromSigs]]'s df-cap or MinHash banding
+    * instead. This exact table is the oracle-checkable ground truth. */
+  def pairCountsFromSigs(sigs: DataFrame): DataFrame = {
     val sh = sigs.select(col("id"), size(col("hs")).as("n_sh"), col("hs"))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("g"))
     val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
@@ -318,12 +330,33 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"),
         first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
-      .withColumn("jaccard",
+  }
+
+  /** Exact n-gram Jaccard pairs as a filter over [[pairCountsFromSigs]]:
+    * jaccard = shared / (|A| + |B| - shared). */
+  def jaccardFromPairCounts(pc: DataFrame,
+                            threshold: Double = 0.3): DataFrame =
+    pc.withColumn("jaccard",
         col("shared").cast(DoubleType) /
           (col("a_n") + col("b_n") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+
+  /** Containment pairs as a filter over [[pairCountsFromSigs]]:
+    * containment = shared / min(|A|, |B|). */
+  def containmentFromPairCounts(pc: DataFrame,
+                                threshold: Double = 0.8): DataFrame =
+    pc.withColumn("containment",
+        col("shared").cast(DoubleType) /
+          least(col("a_n"), col("b_n")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 4).as("containment"))
+
+  /** [[ngramJaccardPairs]] from a pre-computed [[signatures]] table. */
+  def ngramJaccardPairsFromSigs(sigs: DataFrame,
+                                threshold: Double = 0.3): DataFrame =
+    jaccardFromPairCounts(pairCountsFromSigs(sigs), threshold)
 
   /** Scale path for n-gram Jaccard: identical verification (TRUE jaccard
     * over full shingle sets via array_intersect), but candidate
@@ -346,23 +379,8 @@ object Dedup {
     * misses because the union is dominated by the longer side. Same
     * inverted-index join shape as [[ngramJaccardPairsFromSigs]]. */
   def containmentPairsFromSigs(sigs: DataFrame,
-                               threshold: Double = 0.8): DataFrame = {
-    val sh = sigs.select(col("id"), size(col("hs")).as("n_sh"), col("hs"))
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("g"))
-    val a = inv.select(col("g"), col("id").as("a_id"), col("n_sh").as("a_n"))
-    val b = inv.select(col("g"), col("id").as("b_id"), col("n_sh").as("b_n"))
-    a.join(b, Seq("g"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
-      .withColumn("containment",
-        col("shared").cast(DoubleType) /
-          least(col("a_n"), col("b_n")).cast(DoubleType))
-      .filter(col("containment") >= threshold)
-      .select(col("a_id"), col("b_id"),
-        round(col("containment"), 4).as("containment"))
-  }
+                               threshold: Double = 0.8): DataFrame =
+    containmentFromPairCounts(pairCountsFromSigs(sigs), threshold)
 
   /** [[ngramJaccardPairsBlocked]] from a pre-computed [[signatures]]
     * table. */
