@@ -250,6 +250,16 @@ object PipelineEntries {
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentFromPairCounts(docPairCounts(s, dir), threshold = 0.8)),
 
+    // incremental (cross-corpus) dedup: the pmod-10<2 slice stands in for
+    // a new crawl increment checked against the already-accepted corpus.
+    // The corpus is never self-joined — cost scales with the increment.
+    "dedup_incremental" -> ((s, dir) => {
+      val sigs = docSigs(s, dir)
+      Dedup.incrementalJaccardPairs(
+        sigs.filter(pmod(col("id"), lit(10)) < 2),
+        sigs.filter(pmod(col("id"), lit(10)) >= 2), threshold = 0.5)
+    }),
+
     // sub-document exact dedup: 32-token chunks, md5 per chunk, report
     // chunks occurring more than once across the corpus (the C4-style
     // boilerplate detector). One shuffle on the 32-hex digest — chunk
@@ -353,6 +363,27 @@ object PipelineEntries {
           Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("n_chunks").cast(LongType).as("n_chunks"),
           size(col("kept_chunks")).cast(LongType).as("n_kept"))),
+
+    // per-label embedding centroid: the k-means/update-step and
+    // class-prototype primitive. posexplode keeps rows O(1)-sized (no
+    // vector ever shuffles whole); partial avg aggregates map-side.
+    "emb_label_centroid" -> ((s, dir) =>
+      embeddings(s, dir)
+        .select(col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + lit(1)).cast(LongType).as("pos"))
+        .agg(round(avg(col("col")), 4).as("c"))),
+
+    // deterministic shard assignment: portable md5-56 hash of the doc id
+    // mod 8 — the reproducible any-engine alternative to rand() sharding;
+    // per-shard profile proves the assignment balances
+    "ext_shard_assign" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(Dedup.portableHash56(col("doc_id")), lit(8)).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
     // deterministic train/eval split: reproducible 10% sample by id
     // modulus — the split a training pipeline can re-derive at any time
@@ -875,6 +906,45 @@ object PipelineEntries {
              AS containment
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / CAST(least(a_n, b_n) AS DOUBLE) >= 0.8""",
+
+    "dedup_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         ninv AS (SELECT doc_id AS new_id, len(sh) AS new_n, unnest(sh) AS g
+                  FROM sh WHERE doc_id % 10 < 2),
+         cinv AS (SELECT doc_id AS dup_of, len(sh) AS old_n, unnest(sh) AS g
+                  FROM sh WHERE doc_id % 10 >= 2),
+         pairs AS (
+           SELECT new_id, dup_of, count(*) AS shared,
+             any_value(new_n) AS new_n, any_value(old_n) AS old_n
+           FROM ninv JOIN cinv USING (g)
+           GROUP BY 1, 2)
+         SELECT new_id, dup_of,
+           round(CAST(shared AS DOUBLE) / CAST(new_n + old_n - shared AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / CAST(new_n + old_n - shared AS DOUBLE) >= 0.5""",
+
+    "emb_label_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           round(avg(e), 4) AS c
+         FROM (SELECT label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+         GROUP BY 1, 2""",
+
+    "ext_shard_assign" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8
+             AS shard,
+           count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY 1""",
 
     "dedup_chunks" ->
       """WITH toks AS (

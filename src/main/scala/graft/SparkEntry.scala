@@ -233,6 +233,7 @@ object SparkEntry {
     "s1_csv_strict" -> ((s, dir) => csvRoundtrip(s, dir, permissive = false)),
     "s2_csv_permissive" -> ((s, dir) => csvRoundtrip(s, dir, permissive = true)),
     "s8_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
+    "s9_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
 
     // ---- S3/S4 + routing: prepared layout (partitionBy(type,day) ZSTD
     // ---- parquet + rollup tables), aggregate router with containment
@@ -726,6 +727,29 @@ object SparkEntry {
         .select(col("o_custkey").as("c_custkey"))
     }),
 
+    // full outer join: a sliced customer dim x per-customer order counts,
+    // so BOTH null sides survive (customers with no orders, order groups
+    // whose customer fell outside the slice)
+    "ext_join_outer" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val o = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("c_mktsegment"), col("n_orders"))
+    }),
+
+    // scalar subquery through Catalyst's subquery rewrite (turns into a
+    // broadcast of the 1-row aggregate — no per-row re-execution)
+    "ext_scalar_subquery" -> ((s, dir) => {
+      val v = "orders_ssq_" + java.lang.Integer.toHexString(dir.hashCode)
+      tbl(s, dir, "orders").createOrReplaceTempView(v)
+      s.sql(s"""SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+                FROM $v
+                WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM $v)""")
+    }),
+
     "ext_topk" -> ((s, dir) =>
       round4(Relational.topK(tbl(s, dir, "orders"), 10,
           ("o_totalprice", true), ("o_orderkey", false))
@@ -865,6 +889,21 @@ object SparkEntry {
       count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
   }
 
+  /** S-extension: ORC sink + read-back — Spark's second built-in columnar
+    * format beside parquet (column pruning, predicate pushdown, and zlib
+    * compression all apply). Same roundtrip contract as [[jsonlRoundtrip]]. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = tbl(s, dir, "events").drop("props")
+    val name = new java.io.File(dir).getName
+    val outDir = s"/root/repo/target/tmp/events_orc_$name"
+    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+      src.write.mode("overwrite").orc(outDir)
+    }
+    val read = graft.schema.EventTime.withDerived(s.read.orc(outDir))
+    round4(read.groupBy(col("day")).agg(
+      count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Derived-column SQL fragments (DuckDB). */
@@ -919,6 +958,16 @@ object SparkEntry {
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "s8_jsonl_roundtrip" ->
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "s9_orc_roundtrip" ->
+      s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "ext_join_outer" ->
+      ("SELECT coalesce(c.custkey, o.custkey) AS custkey, c.c_mktsegment, o.n_orders " +
+       "FROM (SELECT c_custkey AS custkey, c_mktsegment FROM customer WHERE c_custkey < 500) c " +
+       "FULL OUTER JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1) o " +
+       "ON c.custkey = o.custkey"),
+    "ext_scalar_subquery" ->
+      ("SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice FROM orders " +
+       "WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)"),
     "route_reagg_type" ->
       "SELECT event_type, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value, count(*) AS cnt FROM events GROUP BY 1",
     "route_filtered_rollup" ->

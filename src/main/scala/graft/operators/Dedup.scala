@@ -421,6 +421,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // --------------------------------------------------- incremental dedup
+
+  /** Incremental (cross-corpus) near-dup check: each NEW document against
+    * an EXISTING accepted corpus — the daily-increment shape of a crawl
+    * pipeline. Candidate generation is an inverted-index join of the new
+    * batch's shingles against the corpus index; the corpus is NEVER
+    * self-joined, so the cost scales with |increment| x index hit rate,
+    * not |corpus|^2. At cluster scale the corpus index is a persisted
+    * artifact (the [[signatures]] table written at accept time) and the
+    * increment side — typically orders of magnitude smaller — shuffles or
+    * broadcasts against it. Output: (new_id, dup_of, jaccard >= threshold),
+    * one row per (new doc, corpus doc) near-dup relation; new docs with no
+    * row are safe to accept. */
+  def incrementalJaccardPairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                              threshold: Double = 0.5): DataFrame = {
+    val nInv = newSigs.select(col("id").as("new_id"),
+      size(col("hs")).as("new_n"), explode(col("hs")).as("g"))
+    val cInv = corpusSigs.select(col("id").as("dup_of"),
+      size(col("hs")).as("old_n"), explode(col("hs")).as("g"))
+    nInv.join(cInv, Seq("g"))
+      .groupBy(col("new_id"), col("dup_of"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("new_n")).as("new_n"), first(col("old_n")).as("old_n"))
+      .withColumn("jaccard",
+        col("shared").cast(DoubleType) /
+          (col("new_n") + col("old_n") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination (the GPT-3-style n-gram overlap check):

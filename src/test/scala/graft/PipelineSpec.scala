@@ -94,6 +94,53 @@ class PipelineSpec extends SparkSpec {
     assert(got("z").contains(2.0), "tie at equal ts must pick max payload")
   }
 
+  test("incremental dedup equals the increment-slice of the full pair set") {
+    import org.apache.spark.sql.functions._
+    val sigs = Dedup.signatures(docs, "doc_id", "text", n = 3)
+    val inc = Dedup.incrementalJaccardPairs(
+        sigs.filter(pmod(col("id"), lit(10)) < 2),
+        sigs.filter(pmod(col("id"), lit(10)) >= 2), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus exact pairs restricted to (new, old) splits,
+    // reoriented so the new doc comes first
+    val expected = exactPairs.flatMap { case (a, b) =>
+      (a % 10 < 2, b % 10 < 2) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _             => None // new-new and old-old pairs must NOT appear
+      }
+    }
+    assert(inc == expected)
+  }
+
+  test("label centroid equals the driver-side mean per dimension") {
+    import org.apache.spark.sql.functions._
+    val got = PipelineEntries.queries("emb_label_centroid")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val rows = embeddings.select(col("label"), col("embedding")).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    byLabel.foreach { case (label, rs) =>
+      val vecs = rs.map(_.getSeq[Float](1))
+      val dim = vecs.head.size
+      (0 until dim).foreach { d =>
+        val mean = vecs.map(_(d).toDouble).sum / vecs.size
+        val key = (label.toLong, (d + 1).toLong)
+        assert(math.abs(got(key) - mean) < 5e-5, s"label $label dim $d")
+      }
+    }
+    assert(got.size == byLabel.size * rows.head.getSeq[Float](1).size)
+  }
+
+  test("deterministic sharding covers every doc exactly once, balanced-ish") {
+    val shards = PipelineEntries.queries("ext_shard_assign")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = docs.count()
+    assert(shards.map(_._2).sum == total)
+    assert(shards.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    // md5 is uniform: no shard should hold more than 3x its fair share
+    assert(shards.map(_._2).max <= total * 3 / 8 + 1)
+  }
+
   test("cluster resolution groups transitive near-dup pairs") {
     import SparkSpecBase.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3},{10,11}
