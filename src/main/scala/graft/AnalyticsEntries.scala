@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Cdc}
 
 /** Advanced-analytics operator entries: as-of join, rollup/cube, pivot,
   * exact + approximate percentiles, JSON extraction, windowed moving
@@ -307,6 +307,46 @@ object AnalyticsEntries {
         .limit(10)
     }),
 
+    // changelog compaction: latest change per key via the window-free
+    // struct-MAX aggregate — map-side partials mean a key with a million
+    // changes costs one combiner cell per task, not a million rows
+    // through one reducer (the hot-key CDC shape at corpus scale)
+    "ext_cdc_compact" -> ((s, dir) =>
+      Cdc.latestPerKeyAgg(events(s, dir), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), Seq("event_type", "value"))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))),
+
+    // MERGE INTO / upsert: fold a compacted delta (latest order per
+    // customer; final-status orders are deletes) into a base snapshot.
+    // One full-outer shuffle join on the key — never a corpus rewrite.
+    // Base drops custkey%3==0 so the delta exercises the INSERT path too.
+    "ext_merge_upsert" -> ((s, dir) => {
+      val base = tbl(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val delta = Cdc.latestPerKey(tbl(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("o_totalprice").as("new_bal"))
+      Cdc.mergeUpsert(base, delta, "key", "op", "D",
+          Seq("bal" -> ("bal", "new_bal")))
+        .select(col("key"), round(col("bal"), 4).as("bal"), col("src"))
+    }),
+
+    // SCD type-2 dimension build: one row per change with effective-dated
+    // [valid_from, valid_to) intervals via lead(); the open interval is
+    // the current version. Ordered on epoch seconds (both engines
+    // truncate identically), event_id tiebreak.
+    "ext_scd2" -> ((s, dir) => {
+      val ch = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 40)
+      Cdc.scd2(ch, "user_id", col("ts").cast(LongType), col("event_id"),
+        Seq(col("event_id"), round(col("value"), 4).as("value")))
+    }),
+
     // order-sensitive ARRAY_AGG: per-group sorted distinct id list,
     // flattened to CSV (the driver compare can't sort array cells) — the
     // collect stays bounded by the user_id < 20 filter
@@ -463,6 +503,38 @@ object AnalyticsEntries {
            bool_or(value > 990) AS any_huge,
            CAST(sum(CASE WHEN value > 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
          FROM events GROUP BY 1""",
+    "ext_cdc_compact" ->
+      """SELECT user_id, event_type AS last_type,
+           round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "ext_merge_upsert" ->
+      """WITH delta AS (
+           SELECT o_custkey AS key,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders)
+           WHERE rn = 1),
+         base AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer
+                  WHERE c_custkey % 3 <> 0)
+         SELECT coalesce(d.key, b.key) AS key,
+           round(CASE WHEN d.key IS NOT NULL THEN d.new_bal ELSE b.bal END, 4)
+             AS bal,
+           CASE WHEN d.key IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+         FROM base b FULL OUTER JOIN delta d ON b.key = d.key
+         WHERE d.op IS NULL OR d.op <> 'D'""",
+    "ext_scd2" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           lead(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS valid_to,
+           (lead(ts, 1) OVER w IS NULL) AS is_current
+         FROM events WHERE event_type = 'purchase' AND user_id < 40
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)""",
     "ext_unpivot" ->
       """WITH wide AS (SELECT CAST(ts AS DATE) AS day,
              CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
