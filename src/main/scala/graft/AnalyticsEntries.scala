@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -307,6 +307,86 @@ object AnalyticsEntries {
         .limit(10)
     }),
 
+    // ordered funnel: signup -> first later click -> first later purchase.
+    // Each stage is one grouped MIN + one equi-join on user_id (never a
+    // per-event sequence scan), so stage cost is a hash-agg shuffle
+    // regardless of per-user event counts — the event-analytics staple.
+    "ext_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      val sgn = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val clk = e.filter(col("event_type") === "click")
+        .join(sgn, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .join(clk, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      sgn.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(clk.agg(count(lit(1)).as("n_click")))
+        .crossJoin(pur.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // day-over-day retention: users active on d AND d+1, per day. One
+    // distinct-projection + a self-join keyed (user, day+1) — both sides
+    // shuffle once on the same key.
+    "ext_retention" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("ts").cast(DateType).as("day"), col("user_id")).distinct()
+      val nxt = act.select(date_sub(col("day"), 1).as("prev_day"),
+        col("user_id").as("ret_uid"))
+      act.join(nxt,
+          col("day") === col("prev_day") && col("user_id") === col("ret_uid"),
+          "left")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active"),
+          count(col("ret_uid")).as("retained"))
+        .withColumn("retention",
+          round(col("retained").cast(DoubleType) /
+            col("active").cast(DoubleType), 4))
+    }),
+
+    // count-min sketch frequency estimation (depth 4 x width 256): the
+    // bounded-memory heavy-hitter estimator. The sketch is a grouped
+    // count over (row, bucket) — mergeable across partitions/days by
+    // cell-wise addition, unlike an exact per-key count whose state is
+    // unbounded. Estimates use the portable md5-56 hash so the oracle
+    // rebuilds the identical sketch.
+    "ext_countmin" -> ((s, dir) => {
+      val width = 256
+      def bucket(d: Column, key: Column): Column =
+        pmod(graft.operators.Dedup.portableHash56(
+          concat(d.cast(StringType), lit(":"), key.cast(StringType))),
+          lit(width))
+      val ds4 = s.range(4).select(col("id").as("d"))
+      val ev = events(s, dir).select(col("user_id"))
+      val cms = ev.crossJoin(ds4)
+        .groupBy(col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = ev.filter(col("user_id") < 25).distinct()
+      probes.crossJoin(ds4)
+        .withColumn("bucket", bucket(col("d"), col("user_id")))
+        .join(cms, Seq("d", "bucket"))
+        .groupBy(col("user_id"))
+        .agg(min(col("c")).as("est_cnt"))
+    }),
+
+    // windowed COUNT(DISTINCT): running distinct event-type count per
+    // user (Spark windows reject DISTINCT aggregates; the first-seen-flag
+    // running sum is the standard scalable restatement — two window
+    // passes, no per-row set state)
+    "ext_window_count_distinct" -> ((s, dir) => {
+      val first = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter(col("user_id") < 50)
+        .withColumn("fst",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .select(col("event_id"),
+          sum(col("fst")).over(run).as("n_types_seen"))
+    }),
+
     // changelog compaction: latest change per key via the window-free
     // struct-MAX aggregate — map-side partials mean a key with a million
     // changes costs one combiner cell per task, not a million rows
@@ -503,6 +583,51 @@ object AnalyticsEntries {
            bool_or(value > 990) AS any_huge,
            CAST(sum(CASE WHEN value > 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
          FROM events GROUP BY 1""",
+    "ext_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+         SELECT (SELECT count(*) FROM s) AS n_signup,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase""",
+    "ext_retention" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                      FROM events)
+         SELECT a.day, count(*) AS active,
+           count(b.user_id) AS retained,
+           round(CAST(count(b.user_id) AS DOUBLE) / count(*), 4) AS retention
+         FROM act a LEFT JOIN act b
+           ON a.user_id = b.user_id AND b.day = a.day + 1
+         GROUP BY 1""",
+    "ext_countmin" ->
+      """WITH ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(d)),
+         cms AS (SELECT d,
+             ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 14))::BIGINT % 256 AS bucket,
+             count(*) AS c
+           FROM events CROSS JOIN ds GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+         pb AS (SELECT p.user_id, ds.d,
+             ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' ||
+               CAST(p.user_id AS VARCHAR)), 1, 14))::BIGINT % 256 AS bucket
+           FROM probes p CROSS JOIN ds)
+         SELECT pb.user_id, min(c.c) AS est_cnt
+         FROM pb JOIN cms c ON pb.d = c.d AND pb.bucket = c.bucket
+         GROUP BY 1""",
+    "ext_window_count_distinct" ->
+      """SELECT event_id,
+           CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_types_seen
+         FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fst
+               FROM events WHERE user_id < 50)""",
     "ext_cdc_compact" ->
       """SELECT user_id, event_type AS last_type,
            round(value, 4) AS last_value
