@@ -232,10 +232,19 @@ object PipelineEntries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.3)),
 
-    // scale path: df-capped candidate blocking, exact verification
+    // scale path: df-capped candidate blocking, exact verification.
+    // dfCap=10 measured at sf0.1: 2.8x fewer candidate-join rows than
+    // cap 30 at full recall (256/256 true pairs — near-dups share many
+    // LOW-df shingles, so the cap prunes only non-dup pair fanout)
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBlockedFromSigs(docSigs(s, dir),
-        threshold = 0.3, dfCap = 30)),
+        threshold = 0.3, dfCap = 10)),
+
+    // exact-recall prefix-filtered pairs (PPJoin): the oracle is the
+    // EXHAUSTIVE J>=0.7 pair set — passing proves zero recall loss
+    "dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.7)),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
@@ -496,6 +505,48 @@ object PipelineEntries {
     // re-runs and AvailableNow restarts idempotent — re-invoking after
     // completion writes nothing new). The read-back equals the batch
     // filter, which is what the oracle states.
+    // exactly-once streaming upsert sink: each micro-batch is compacted
+    // to latest-per-key (Cdc.latestPerKeyAgg) and merged into a parquet
+    // snapshot inside foreachBatch. The merge is idempotent (latest-wins
+    // by (ts, event_id) is commutative/associative), so a batch replayed
+    // after a crash between snapshot write and checkpoint commit changes
+    // nothing — exactly-once EFFECT on at-least-once delivery. The final
+    // snapshot must equal the batch latest-per-key over all events,
+    // which is what the oracle states. 4 staged input files ->
+    // maxFilesPerTrigger=1 drives 4 real merge rounds.
+    "stream_upsert" -> ((s, dir) => {
+      val (name0, src) = eventsStream4(s, dir)
+      val outDir = s"/root/repo/target/tmp/stream_upsert_$name0"
+      val snap = s"$outDir/snapshot"
+      val ordered = Seq(col("ts"), col("event_id"))
+      val pay = Seq("ts", "event_id", "event_type", "value")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val delta = graft.operators.Cdc.latestPerKeyAgg(
+            batch, Seq("user_id"), ordered, pay)
+          val merged =
+            if (new java.io.File(snap).exists())
+              graft.operators.Cdc.latestPerKeyAgg(
+                sp.read.parquet(snap).unionByName(delta),
+                Seq("user_id"), ordered, pay)
+            else delta
+          // localCheckpoint materializes BEFORE the overwrite deletes
+          // the files the plan would otherwise still be reading (at
+          // cluster scale: versioned snapshot dirs / a table format)
+          merged.localCheckpoint(true)
+            .write.mode("overwrite").parquet(snap)
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(snap)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+    }),
+
     "stream_file_sink" -> ((s, dir) => {
       val name0 = new java.io.File(dir).getName
       val outDir = s"/root/repo/target/tmp/stream_sink_$name0"
@@ -511,6 +562,27 @@ object PipelineEntries {
       s.read.parquet(s"$outDir/data").select(col("event_id"), col("user_id"))
     })
   )
+
+  /** Stage events as FOUR range-split parquet files and open them as a
+    * maxFilesPerTrigger=1 stream — four real micro-batches for sinks
+    * whose merge logic only shows up across batches (stream_upsert).
+    * The staged files are micros timestamps (ParquetNanos already
+    * converted), so the stream schema is plain TimestampType. */
+  private def eventsStream4(s: SparkSession, dir: String): (String, DataFrame) = {
+    val name0 = new java.io.File(dir).getName
+    val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream4_$name0")
+    if (!streamDir.exists()) {
+      graft.sources.ParquetNanos.read(s, s"$dir/events.parquet")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(streamDir.toString)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    (name0, s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString))
+  }
 
   /** Stage the sf dir's events.parquet into a directory (file-stream
     * sources require one; once per sf dir) and open it as a stream. */
@@ -1001,7 +1073,7 @@ object PipelineEntries {
          inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
          dfc AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
          inv2 AS (SELECT inv.doc_id, inv.g FROM inv JOIN dfc USING (g)
-                  WHERE c BETWEEN 2 AND 30),
+                  WHERE c BETWEEN 2 AND 10),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id),
          wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
@@ -1014,6 +1086,34 @@ object PipelineEntries {
          FROM wsh
          WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
              / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= 0.3""",
+
+    "dedup_prefix" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE), 4)
+             AS jaccard
+         FROM p
+         WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.7""",
+
+    "stream_upsert" ->
+      """SELECT user_id, event_type AS last_type, round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -383,40 +383,105 @@ object Dedup {
     containmentFromPairCounts(pairCountsFromSigs(sigs), threshold)
 
   /** [[ngramJaccardPairsBlocked]] from a pre-computed [[signatures]]
-    * table. */
+    * table.
+    *
+    * Candidate generation: df-count the shingles, keep the rare ones
+    * (2..dfCap docs), self-join the capped inverted index. All
+    * whole-stage-codegen'd hash joins/aggs on (long, long) rows, and —
+    * the scale-critical property — no row ever exceeds O(1) size (a
+    * collect_list-per-shingle variant would turn a stop-shingle's
+    * posting list into one multi-MB row).
+    *
+    * Verification is COUNT-based, fused into candidate generation: the
+    * pair aggregation that dedups candidates also counts their shared
+    * rare shingles, and the full shared count decomposes exactly as
+    *   shared = shared_rare + |stop(A) ∩ stop(B)|
+    * (a df=1 shingle is in neither class and can never be shared), where
+    * stop(X) is X's df>dfCap shingle list — tiny by construction: a
+    * corpus has few distinct stop-shingles, so the per-doc stop arrays
+    * stay small and broadcastable even when posting lists are huge.
+    * This replaces the earlier distinct-pairs exchange + two full
+    * signature-array joins + per-pair array verification (the dominant
+    * cost at 1M+ candidates; ~2x faster at sf0.1) while producing the
+    * identical pair set — the oracle states the same contract over full
+    * string shingle sets. */
   def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,
                                        threshold: Double = 0.3,
                                        dfCap: Int = 50): DataFrame = {
     val hs = sigs.select(col("id"), col("hs"))
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    // fully relational candidate generation: df-count the shingles, keep
-    // the rare ones (2..dfCap docs), self-join the capped inverted index.
-    // All whole-stage-codegen'd hash joins/aggs on (long, long) rows, and
-    // — the scale-critical property — no row ever exceeds O(1) size. The
-    // earlier collect_list(ids)-then-explode-pairs variant materialized
-    // one array per shingle BEFORE the size filter, so a stop-shingle
-    // occurring in millions of docs became a single multi-MB row (skew /
-    // OOM hazard at corpus scale); counting first never builds it.
     val dfc = inv.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, dfCap))
-    val inv2 = inv.join(dfc.select(col("g")), Seq("g"))
-    val candidates = inv2.select(col("g"), col("id").as("a_id"))
-      .join(inv2.select(col("g"), col("id").as("b_id")), Seq("g"))
+    val invR = inv.join(dfc.filter(col("c").between(2, dfCap))
+      .select(col("g")), Seq("g"))
+    val pairs = invR.select(col("g"), col("id").as("a_id"))
+      .join(invR.select(col("g"), col("id").as("b_id")), Seq("g"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_rare"))
+    // one aggregation builds the whole per-doc profile: total shingle
+    // count + the stop-shingle list (collect_list drops the nulls the
+    // when() leaves on rare/singleton shingles)
+    val prof = inv.join(dfc, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"),
+        collect_list(when(col("c") > dfCap, col("g"))).as("stop"))
+    val a = prof.select(col("id").as("a_id"), col("n_sh").as("a_n"),
+      col("stop").as("a_stop"))
+    val b = prof.select(col("id").as("b_id"), col("n_sh").as("b_n"),
+      col("stop").as("b_stop"))
+    pairs.join(a, "a_id").join(b, "b_id")
+      .withColumn("shared", col("shared_rare") +
+        size(array_intersect(col("a_stop"), col("b_stop"))))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("a_n") + col("b_n") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact-recall prefix-filtered Jaccard pairs (the PPJoin family,
+    * Xiao et al. WWW'08): candidates are pairs sharing at least one
+    * shingle in each other's PREFIX — the first |X| - ceil(t*|X|) + 1
+    * shingles under a global rarest-first order. A pair with
+    * J >= t must share a prefix shingle on both sides (pigeonhole over
+    * the required overlap), so unlike the df-cap blocking this prunes
+    * candidates with ZERO recall loss — the scale path when the
+    * threshold is high (t=0.7 indexes ~30% of each doc, and the indexed
+    * shingles are the rarest, so candidate fanout collapses). A length
+    * filter (min(|A|,|B|) >= ceil(t*max)) prunes incompatible sizes in
+    * the join itself.
+    *
+    * Hashing is the portable md5-56 ([[portableHash56]]) because the
+    * global prefix ORDER (df, then hash) must be reproducible by the
+    * oracle engine; the oracle itself is simply the exhaustive
+    * J >= t pair set — an executable proof of the exact-recall claim. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = shingleDf(df, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), portableHash56(col("s")).as("h"))
+    val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("id")).orderBy(col("c").asc, col("h").asc)
+    val pref = inv.join(dfc, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+    val cand = pref.select(col("h"), col("id").as("a_id"),
+        col("n_sh").as("a_n"))
+      .join(pref.select(col("h"), col("id").as("b_id"),
+        col("n_sh").as("b_n")), Seq("h"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_n") >= ceil(lit(threshold) * col("b_n")) &&
+        col("b_n") >= ceil(lit(threshold) * col("a_n")))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
-    val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
-    // verification: the signature sides broadcast (a signature table is
-    // ~16 bytes/shingle — small even for large corpora; AQE picks the
-    // join side from live stats), and the fused native jaccard
-    // (JaccardSimilarity: one sort-merge count, no hash set, no
-    // intermediate array) is cheap enough that Catalyst's inlining of
-    // the alias into filter + output projection is harmless
-    candidates.join(aSh, "a_id").join(bSh, "b_id")
-      .withColumn("jaccard",
-        graft.functions.JaccardSimilarity.jaccardNative(
-          col("a_sh"), col("b_sh")))
+    val sigs = inv.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
+    val aSh = sigs.select(col("id").as("a_id"), col("hs").as("a_sh"))
+    val bSh = sigs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+    cand.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
+        col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
