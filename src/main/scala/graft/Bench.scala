@@ -29,7 +29,8 @@ object Bench {
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_blocked",
     "dedup_clusters",
     "ann_brute_topk", "ann_ivf_topk", "sessionize", "text_quality",
-    "text_gopher_rules", "ext_pack_sequences")
+    "text_gopher_rules", "ext_pack_sequences",
+    "ext_cdc_compact", "ext_merge_upsert", "ext_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
