@@ -16,6 +16,12 @@ class PlanAuditSpec extends SparkSpec {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Adaptive plans print "== Final Plan ==" followed by an
+    * "== Initial Plan ==" echo; keep only the final section so node
+    * counts aren't doubled. */
+  private def finalPlan(df: DataFrame): String =
+    physical(df).split("== Initial Plan ==")(0)
+
   /** Engines with result caching OFF: the cache materializes hits as
     * LocalTableScan, hiding the plan under audit. */
   private def scanEngine = new Engine(spark, DirCatalog(sfDir), Nil, cacheResults = false)
@@ -154,6 +160,43 @@ class PlanAuditSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("CDC compaction: map-side partial struct-MAX, exactly one shuffle") {
+    val ev = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val df = graft.operators.Cdc.latestPerKeyAgg(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), Seq("event_type", "value"))
+    df.collect()
+    val plan = finalPlan(df)
+    // the whole point of the agg formulation vs a window: partial (map
+    // side) aggregation collapses hot keys BEFORE the exchange
+    assert(plan.contains("partial_max"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("merge/upsert: one full-outer join; delta window partitioning is reused") {
+    val cust = graft.sources.ParquetNanos.read(spark, s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val delta = graft.operators.Cdc.latestPerKey(
+        graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet"),
+        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey").as("key"), lit("U").as("op"),
+        col("o_totalprice").as("new_bal"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = graft.operators.Cdc.mergeUpsert(cust, delta, "key", "op", "D",
+        Seq("bal" -> ("bal", "new_bal")))
+      merged.collect()
+      val plan = finalPlan(merged)
+      assert(plan.contains("FullOuter"), plan)
+      // the delta branch already shuffled by the key for its window;
+      // the join must reuse that partitioning (alias keeps the attribute
+      // id), so only TWO exchanges appear — one per input branch
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dedup explode path carries no vacuous inferred generate-filter") {
