@@ -254,6 +254,28 @@ object PipelineEntries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(jaccardPairs05(s, dir))),
 
+    // near-dup graph analytics over the shared verified pair table:
+    // node degrees (how duplicated is each doc) and triangle closure
+    // (how clique-like the dup neighborhoods are — boilerplate families
+    // triangulate, chain-shaped false-positive paths don't). Both are
+    // plain joins/aggs over the O(|pairs|) edge list — never the corpus.
+    "graph_degrees" -> ((s, dir) => {
+      val p = jaccardPairs05(s, dir)
+      p.select(col("a_id").as("id")).union(p.select(col("b_id").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    }),
+
+    // triangles (a<b<c): two joins over the ordered edge list — each
+    // wedge (a-b, b-c) is closed by probing the third edge (a,c)
+    "graph_triangles" -> ((s, dir) => {
+      val e = jaccardPairs05(s, dir).select(col("a_id"), col("b_id"))
+      val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      val e2 = e.select(col("a_id").as("b"), col("b_id").as("c"))
+      val e3 = e.select(col("a_id").as("a"), col("b_id").as("c"))
+      e1.join(e2, "b").join(e3, Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+    }),
+
     // asymmetric containment near-dups: catches short docs embedded in
     // longer ones, which symmetric jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -929,6 +951,54 @@ object PipelineEntries {
              AS jaccard
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.3""",
+
+    "graph_degrees" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5)
+         SELECT id, count(*) AS degree
+         FROM (SELECT a_id AS id FROM pairs
+               UNION ALL SELECT b_id FROM pairs)
+         GROUP BY 1""",
+
+    "graph_triangles" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5)
+         SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         FROM pairs e1
+         JOIN pairs e2 ON e1.b_id = e2.a_id
+         JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (
