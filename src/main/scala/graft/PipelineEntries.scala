@@ -202,6 +202,38 @@ object PipelineEntries {
             .cast(LongType).as("pack_id"))
     }),
 
+    // flagship composition — the full curation funnel in ONE declarative
+    // plan: quality gate (Gopher signals with thresholds fit to the
+    // synthetic corpus — no stopword gate, the fake text has none) ∧
+    // language filter ∧ near-dup removal (keep cluster representatives,
+    // via the shared materialized pair table) → greedy 2048-token
+    // sequence packing of the survivors. Every stage is an operator
+    // oracled on its own elsewhere; this entry proves they COMPOSE —
+    // one Catalyst plan, no intermediate materialization beyond the
+    // shared pair table.
+    "pipeline_curate_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val passIds = TextAnalysis.gopherSignals(d, "doc_id", "text")
+        .filter(col("n_words") >= 50 &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_ratio") >= 0.8)
+        .select(col("id").as("doc_id"))
+      val dropIds = Dedup.clusters(jaccardPairs05(s, dir))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val keep = d.filter(col("lang") === "en")
+        .join(passIds, "doc_id")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      keep.withColumn("cs", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cs") - col("n_tokens")) / lit(2048.0))
+            .cast(LongType).as("pack_id"))
+    }),
+
     // corpus vocabulary: top-100 tokens by frequency
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
@@ -951,6 +983,60 @@ object PipelineEntries {
              AS jaccard
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.3""",
+
+    "pipeline_curate_pack" ->
+      s"""WITH RECURSIVE ltoks AS (
+           SELECT doc_id, $toksLowerE AS t FROM documents),
+         shl AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM ltoks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM shl),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         clusters AS (
+           SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         gop AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) > 0
+               THEN CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS mean_word_len,
+             round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS alpha_ratio
+           FROM (SELECT doc_id, $toksE AS toks, text FROM documents)),
+         keep AS (
+           SELECT d.doc_id, d.lang, CAST(len($toksE) AS BIGINT) AS n_tokens
+           FROM documents d JOIN gop USING (doc_id)
+           WHERE d.lang = 'en'
+             AND gop.n_words >= 50
+             AND gop.mean_word_len BETWEEN 3.0 AND 10.0
+             AND gop.alpha_ratio >= 0.8
+             AND d.doc_id NOT IN
+               (SELECT id FROM clusters WHERE id <> cluster_id)),
+         cum AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cs
+           FROM keep)
+         SELECT doc_id, n_tokens,
+           CAST(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+         FROM cum""",
 
     "graph_degrees" ->
       """WITH toks AS (
