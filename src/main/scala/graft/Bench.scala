@@ -27,7 +27,7 @@ object Bench {
     "ext_window_topk_per_group", "ext_asof_join", "ext_moving_avg",
     "ext_rollup",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_blocked",
-    "dedup_clusters", "pipeline_curate_pack",
+    "dedup_clusters", "dedup_substrings", "pipeline_curate_pack",
     "ann_brute_topk", "ann_ivf_topk", "sessionize", "text_quality",
     "text_gopher_rules", "ext_pack_sequences",
     "ext_cdc_compact", "ext_merge_upsert", "ext_funnel")

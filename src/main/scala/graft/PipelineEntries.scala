@@ -238,6 +238,24 @@ object PipelineEntries {
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
 
+    // corpus-wide adjacent-token-pair frequencies — the statistic a
+    // BPE/WordPiece trainer computes per merge iteration (word-level
+    // here). Top-50 under a TOTAL order (cnt desc, pair asc) so the
+    // cut is deterministic; the shuffle carries (pair, partial-count),
+    // never token arrays
+    "text_bpe_pairs" -> ((s, dir) => {
+      import graft.functions.Staging.bound
+      val toks = docs(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+      toks.select(explode(bound(col("t"))(t =>
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    }),
+
     // per-doc top-3 TF-IDF terms (docs with id < 50 to bound output)
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", 3)
@@ -271,6 +289,11 @@ object PipelineEntries {
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBlockedFromSigs(docSigs(s, dir),
         threshold = 0.3, dfCap = 10)),
+
+    // exact sliding-window substring dup at arbitrary alignment —
+    // catches cross-offset spans that dedup_chunks' aligned chunks miss
+    "dedup_substrings" -> ((s, dir) =>
+      Dedup.substringDupWindows(docs(s, dir), "doc_id", "text", w = 16)),
 
     // exact-recall prefix-filtered pairs (PPJoin): the oracle is the
     // EXHAUSTIVE J>=0.7 pair set — passing proves zero recall loss
@@ -463,6 +486,27 @@ object PipelineEntries {
           docs(s, dir).select(col("doc_id"), col("lang")),
           Seq("lang"), Seq(("doc_id", false)), k = 50)
         .select(col("doc_id"), col("lang"))),
+
+    // temperature-scaled domain-mixing weights (the multilingual-corpus
+    // sampling formula, alpha = 0.5): per-source token mass -> share ->
+    // weight = share^0.5 / sum(share^0.5). One groupBy over the corpus;
+    // the two global windows run over |sources| rows (a handful), so
+    // the single-partition window is a non-issue at any scale
+    "ext_domain_mix" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      val g = Window.partitionBy()
+      per.withColumn("share",
+          col("n_tokens").cast(DoubleType) /
+            sum(col("n_tokens")).over(g).cast(DoubleType))
+        .withColumn("wraw", sqrt(col("share")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 4).as("share"),
+          round(col("wraw") / sum(col("wraw")).over(g), 4).as("weight"))
+    }),
 
     // data-quality profile: per-source null/blank/short-doc counts
     "ext_quality_profile" -> ((s, dir) =>
@@ -1185,6 +1229,41 @@ object PipelineEntries {
              CAST(greatest((len(t)-1)//32, 0) AS BIGINT))) AS u(i))
          SELECT fp, min(doc_id) AS keep_doc, count(*) AS copies
          FROM ch GROUP BY 1 HAVING count(*) > 1""",
+
+    "dedup_substrings" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerE AS t FROM documents),
+          w AS (
+            SELECT doc_id,
+              md5(array_to_string(list_slice(t, i, i + 15), ' ')) AS fp
+            FROM t, unnest(generate_series(1, len(t) - 15)) AS u(i)
+            WHERE len(t) >= 16)
+          SELECT fp, min(doc_id) AS keep_doc,
+            CAST(count(*) AS BIGINT) AS occurrences,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
+
+    "text_bpe_pairs" ->
+      s"""WITH t AS (SELECT $toksLowerE AS t FROM documents),
+          p AS (
+            SELECT list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1]) AS ps
+            FROM t WHERE len(t) >= 2),
+          u AS (SELECT unnest(ps) AS pair FROM p)
+          SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1
+          ORDER BY cnt DESC, pair LIMIT 50""",
+
+    "ext_domain_mix" ->
+      s"""WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len($toksE)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+          t AS (
+            SELECT *, CAST(n_tokens AS DOUBLE)
+              / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+            FROM per)
+          SELECT source, n_docs, n_tokens, round(share, 4) AS share,
+            round(sqrt(share) / sum(sqrt(share)) OVER (), 4) AS weight
+          FROM t""",
 
     "dedup_materialize" ->
       """WITH RECURSIVE toks AS (

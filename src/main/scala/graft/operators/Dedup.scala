@@ -41,6 +41,34 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Exact sliding-window substring-dup detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): hash
+    * every `w`-token window at EVERY token offset and report windows
+    * occurring in more than one distinct document. Catches duplicated
+    * spans >= w tokens at arbitrary alignment — the suffix-array
+    * semantics the paper implements centrally, restated as a
+    * distributed explode -> groupBy: one 16-byte md5 per corpus token
+    * position, aggregated by fingerprint (map-side-combinable counts;
+    * the shuffle carries digests, never text). Output: fp, keep_doc
+    * (min id), occurrences, n_docs. */
+  def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16): DataFrame = {
+    import graft.functions.Staging.bound
+    val toks = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("t"))
+      .filter(size(col("t")) >= w)
+    toks.select(col("doc_id"),
+        explode(bound(col("t"))(t =>
+          transform(sequence(lit(1), size(t) - lit(w - 1)),
+            i => md5(to_binary(concat_ws(" ", slice(t, i, lit(w))),
+              lit("utf-8")))))).as("fp"))
+      .groupBy(col("fp")).agg(
+        min(col("doc_id")).as("keep_doc"),
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of lowercased text.

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup.substringDupWindows: the sliding-window exact-substring detector
+  * must catch a duplicated span at ARBITRARY alignment — the property
+  * that distinguishes it from aligned chunk fingerprinting. */
+class SubstringDedupSpec extends SparkSpec {
+  import SparkSpecBase.implicits._
+
+  // 30-token span shared by docs 1 and 2, but at different offsets
+  // (doc 1: after 5 filler tokens; doc 2: after 12) — no 16-token
+  // window aligned to a multiple-of-16 boundary is common to both.
+  private val span = (1 to 30).map(i => s"dup$i").mkString(" ")
+  private def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+  private val corpus = Seq(
+    (1L, s"${filler("a", 5)} $span ${filler("b", 10)}"),
+    (2L, s"${filler("c", 12)} $span ${filler("d", 7)}"),
+    (3L, filler("e", 40))).toDF("doc_id", "text")
+
+  test("duplicated span is caught at any alignment; unique doc is not flagged") {
+    val dup = Dedup.substringDupWindows(corpus, "doc_id", "text", w = 16)
+      .collect()
+    // 30-token span -> 15 full 16-token windows, each present in both docs
+    assert(dup.length === 15)
+    assert(dup.forall(r => r.getAs[Long]("n_docs") === 2L))
+    assert(dup.forall(r => r.getAs[Long]("keep_doc") === 1L))
+    assert(dup.forall(r => r.getAs[Long]("occurrences") === 2L))
+  }
+
+  test("chunk-aligned fingerprints miss the same cross-offset span") {
+    // the dedup_chunks shape: non-overlapping 16-token chunks from
+    // offset 0 — different alignment in the two docs, zero shared chunks
+    val toks = corpus.select(col("doc_id"),
+      operators.TextAnalysis.tokens(lower(col("text"))).as("t"))
+    val chunks = toks.select(col("doc_id"),
+      explode(graft.functions.Staging.bound(col("t"))(t =>
+        transform(sequence(lit(0),
+            ((size(t) - lit(1)) / lit(16)).cast(org.apache.spark.sql.types.IntegerType)),
+          i => concat_ws(" ", slice(t, i * lit(16) + lit(1), lit(16))))))
+        .as("chunk"))
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1).count()
+    assert(shared === 0L)
+  }
+
+  test("within-doc repetition alone is not cross-doc duplication") {
+    val selfRep = Seq((10L, s"$span $span")).toDF("doc_id", "text")
+    assert(Dedup.substringDupWindows(selfRep.union(corpus.filter(col("doc_id") === 3L)),
+      "doc_id", "text", w = 16).count() === 0L)
+  }
+}
