@@ -199,6 +199,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("substring-window dedup: digest-only shuffle, pruned corpus scan") {
+    val wins = graft.operators.Dedup.substringDupWindows(
+      graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
+      "doc_id", "text", w = 16)
+    wins.collect()
+    val plan = finalPlan(wins)
+    // corpus scan reads only (doc_id, text) — never lang/source/n_chars
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
+    // aggregation is two-phase: a map-side partial runs BEFORE the
+    // exchange, so the shuffle carries (fp, partial counts) — 16-byte
+    // digests — never token arrays or text
+    assert(plan.contains("partial_"), plan)
+    val exch = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty && exch.forall(l => l.contains("fp")), exch.mkString("\n"))
+  }
+
+  test("curation funnel: id-set joins broadcast, anti-join included") {
+    val df = SparkEntry.queries("pipeline_curate_pack")(spark, sfDir)
+    df.collect()
+    val plan = finalPlan(df)
+    // the pass-id and drop-id sets are tiny relative to the corpus —
+    // both gates must be broadcast joins (no corpus shuffle to filter),
+    // with the near-dup removal as an ANTI join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
