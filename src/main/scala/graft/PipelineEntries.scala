@@ -645,6 +645,48 @@ object PipelineEntries {
           round(col("value"), 4).as("last_value"))
     }),
 
+    // streaming near-dup gate: new docs arrive in micro-batches and are
+    // checked against the STATIC corpus signature index via the
+    // incremental-dedup join inside foreachBatch (batch-DataFrame
+    // semantics, so no streaming-agg restrictions). Each new doc's
+    // pairs depend only on that doc + the static corpus, so the batch
+    // split cannot change the answer: the appended union equals the
+    // one-shot incremental join, which is what the oracle states
+    // (same SQL as dedup_incremental). Checkpoint + AvailableNow make
+    // re-runs no-ops — exactly-once on the result sink.
+    "stream_dedup_near" -> ((s, dir) => {
+      val name0 = new java.io.File(dir).getName
+      val streamDir = new java.io.File(s"/root/repo/target/tmp/docs_stream2_$name0")
+      if (!streamDir.exists()) {
+        graft.sources.ParquetNanos.read(s, s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(10)) < 2)
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(streamDir.toString)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val corpusSigs = docSigs(s, dir).filter(pmod(col("id"), lit(10)) >= 2)
+      val outDir = s"/root/repo/target/tmp/stream_dedup_near_$name0"
+      val resDir = s"$outDir/pairs"
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.incrementalJaccardPairs(
+              Dedup.signatures(batch, "doc_id", "text", n = 3),
+              corpusSigs, threshold = 0.5)
+            .write.mode("append").parquet(resDir)
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(resDir)
+    }),
+
     "stream_file_sink" -> ((s, dir) => {
       val name0 = new java.io.File(dir).getName
       val outDir = s"/root/repo/target/tmp/stream_sink_$name0"
@@ -1349,6 +1391,33 @@ object PipelineEntries {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
+
+    // identical funnel to dedup_incremental: the streaming run must
+    // reproduce the one-shot batch incremental join exactly
+    "stream_dedup_near" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         ninv AS (SELECT doc_id AS new_id, len(sh) AS new_n, unnest(sh) AS g
+                  FROM sh WHERE doc_id % 10 < 2),
+         cinv AS (SELECT doc_id AS dup_of, len(sh) AS old_n, unnest(sh) AS g
+                  FROM sh WHERE doc_id % 10 >= 2),
+         pairs AS (
+           SELECT new_id, dup_of, count(*) AS shared,
+             any_value(new_n) AS new_n, any_value(old_n) AS old_n
+           FROM ninv JOIN cinv USING (g)
+           GROUP BY 1, 2)
+         SELECT new_id, dup_of,
+           round(CAST(shared AS DOUBLE) / CAST(new_n + old_n - shared AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / CAST(new_n + old_n - shared AS DOUBLE) >= 0.5""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
