@@ -167,6 +167,17 @@ object SparkEntry {
                   {"col":"value","op":"gt","val":100}]}""",
       "count(*)" -> "cnt"),
 
+    // OR/NOT predicate trees — a strict DSL extension (the reference
+    // spec forbids nested conditions); never rollup-routed (obligation 0)
+    "r7b_filter_or_not" -> dsl(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"or":[{"col":"event_type","op":"eq","val":"purchase"},
+                         {"and":[{"col":"event_type","op":"eq","val":"click"},
+                                 {"col":"value","op":"gt","val":150}]}]},
+                  {"not":{"col":"user_id","op":"lt","val":10}}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
     "r9_agg_sum" -> dsl(
       """{"select":["event_type",{"SUM":"value"}],"from":"events",
          "group_by":["event_type"]}""",
@@ -932,6 +943,10 @@ object SparkEntry {
       "SELECT event_type, count(*) AS cnt FROM events WHERE value > 50 AND value <= 150 AND user_id >= 5 AND user_id < 900 GROUP BY 1",
     "r7_filter_and_global" ->
       "SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 100",
+    "r7b_filter_or_not" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE (event_type = 'purchase' OR (event_type = 'click' AND value > 150))
+           AND NOT (user_id < 10) GROUP BY 1""",
     "r9_agg_sum" ->
       "SELECT event_type, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "r10_agg_avg" ->

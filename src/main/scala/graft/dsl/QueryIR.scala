@@ -85,9 +85,20 @@ object QueryIR {
   final case class BLit(v: Boolean) extends Lit
   case object NullLit extends Lit
 
-  /** One WHERE condition. `values` holds 1 value for scalar ops, 2 for
+  /** A WHERE predicate. The reference's closed DSL admits only a flat
+    * AND-list of conditions (claude.md:124 "No nested conditions (e.g.,
+    * OR, NOT)"); OR/NOT/AND trees are a strict extension here. The
+    * aggregate router refuses to route any query whose WHERE is not a
+    * flat Cond list — boolean structure never reaches the containment
+    * proof, so the extension cannot weaken routing soundness. */
+  sealed trait Pred
+
+  /** One leaf condition. `values` holds 1 value for scalar ops, 2 for
     * between (inclusive, query_engine.py:450-455), N for in. */
-  final case class Cond(col: String, op: CmpOp, values: Seq[Lit])
+  final case class Cond(col: String, op: CmpOp, values: Seq[Lit]) extends Pred
+  final case class AndPred(ps: Seq[Pred]) extends Pred
+  final case class OrPred(ps: Seq[Pred]) extends Pred
+  final case class NotPred(p: Pred) extends Pred
 
   /** ORDER BY key. Resolution against output columns is case-insensitive
     * (the reference matches "SUM(bid_price)" to "sum(bid_price)",
@@ -102,7 +113,7 @@ object QueryIR {
   final case class Query(
       select: Seq[SelectItem],
       from: String,
-      where: Seq[Cond] = Nil,
+      where: Seq[Pred] = Nil,
       groupBy: Seq[String] = Nil,
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None) {
@@ -126,8 +137,13 @@ object QueryIR {
         case ColItem(n) => "c:" + n
         case a: AggItem => "a:" + a.outputName
       }.mkString(",")
-      val whr = where.map(c =>
-        s"${c.col}|${c.op}|${c.values.map(lit).mkString("^")}").mkString(";")
+      def predKey(p: Pred): String = p match {
+        case Cond(c, op, vs) => s"$c|$op|${vs.map(lit).mkString("^")}"
+        case AndPred(ps) => ps.map(predKey).mkString("and(", ";", ")")
+        case OrPred(ps) => ps.map(predKey).mkString("or(", ";", ")")
+        case NotPred(p0) => s"not(${predKey(p0)})"
+      }
+      val whr = where.map(predKey).mkString(";")
       val ord = orderBy.map(o => s"${o.col}|${o.desc}").mkString(";")
       s"select=[$sel]&from=${from}&where=[$whr]&group=[${groupBy.mkString(",")}]" +
         s"&order=[$ord]&limit=${limit.getOrElse(-1)}"

@@ -43,6 +43,26 @@ object QueryJson {
     case other => fail(s"unsupported select item: $other")
   }
 
+  /** Predicate tree: `{"or": [p, ...]}`, `{"and": [p, ...]}`,
+    * `{"not": p}`, or a leaf condition object. A strict extension of the
+    * reference DSL (which forbids nested conditions, claude.md:124);
+    * queries using it are compiled but never rollup-routed. */
+  private def parsePred(v: JValue): Pred = v match {
+    case obj: JObject =>
+      (obj \ "or", obj \ "and", obj \ "not") match {
+        case (JArray(ps), JNothing, JNothing) =>
+          if (ps.isEmpty) fail("'or' needs at least 1 predicate")
+          OrPred(ps.map(parsePred))
+        case (JNothing, JArray(ps), JNothing) =>
+          if (ps.isEmpty) fail("'and' needs at least 1 predicate")
+          AndPred(ps.map(parsePred))
+        case (JNothing, JNothing, p: JObject) => NotPred(parsePred(p))
+        case (JNothing, JNothing, JNothing) => parseCond(obj)
+        case _ => fail(s"predicate must be one of or/and/not/condition: $obj")
+      }
+    case other => fail(s"predicate must be an object: $other")
+  }
+
   private def parseCond(v: JValue): Cond = v match {
     case obj: JObject =>
       val col = (obj \ "col") match {
@@ -104,7 +124,7 @@ object QueryJson {
         case other => fail(s"'from' must be a string: $other")
       }
       val where = (obj \ "where") match {
-        case JArray(cs) => cs.map(parseCond)
+        case JArray(cs) => cs.map(parsePred)
         case JNothing => Nil
         case other => fail(s"'where' must be an array: $other")
       }

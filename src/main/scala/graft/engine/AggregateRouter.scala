@@ -72,6 +72,10 @@ object AggregateRouter {
     * rollup keys, so they can be applied on the rollup itself).
     *
     * Containment proof obligations:
+    *  0. q's WHERE is a flat list of leaf conditions — any OR/NOT/AND
+    *     tree (the DSL extension) refuses routing outright, since the
+    *     condition-set containment algebra below is only valid for
+    *     conjunctions of leaves;
     *  1. every condition in d.filter appears verbatim in q.where
     *     (the rollup's filter must not remove rows the query wants);
     *  2. every residual q condition references a rollup key
@@ -85,10 +89,13 @@ object AggregateRouter {
     if (q.plainCols.exists(c => !q.groupBy.exists(_.equalsIgnoreCase(c.name))))
       return None
 
+    val conds = q.where.collect { case c: Cond => c }
+    if (conds.size != q.where.size) return None // obligation 0
+
     val defKeys = d.filter.map(condKey).toSet
-    val qKeys = q.where.map(condKey).toSet
+    val qKeys = conds.map(condKey).toSet
     if (!defKeys.subsetOf(qKeys)) return None // obligation 1
-    val residual = q.where.filterNot(c => defKeys.contains(condKey(c)))
+    val residual = conds.filterNot(c => defKeys.contains(condKey(c)))
     val keySet = d.keys.map(_.toLowerCase).toSet
     if (!residual.forall(c => keySet.contains(c.col.toLowerCase))) return None // 2
     if (!q.groupBy.forall(g => keySet.contains(g.toLowerCase))) return None // 3

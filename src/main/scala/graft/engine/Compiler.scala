@@ -76,6 +76,16 @@ object Compiler {
     }
   }
 
+  /** Compile a predicate tree. OR/NOT/AND are strict DSL extensions
+    * (SURVEY §2.4 lists them as spec-excluded in the reference); leaves
+    * share [[condColumn]] so routed and scanned semantics agree. */
+  def predColumn(df: DataFrame, p: Pred): Column = p match {
+    case c: Cond => condColumn(df, c)
+    case AndPred(ps) => ps.map(predColumn(df, _)).reduce(_ && _)
+    case OrPred(ps) => ps.map(predColumn(df, _)).reduce(_ || _)
+    case NotPred(p0) => !predColumn(df, p0)
+  }
+
   private def aggColumn(a: AggItem): Column = {
     val c: Column = a match {
       case AggItem(Count, "*") => count(lit(1))
@@ -96,7 +106,7 @@ object Compiler {
 
     // WHERE: AND-combined (claude.md:122). Chained filters; Catalyst's
     // CombineFilters merges them into one predicate.
-    val filtered = q.where.foldLeft(base)((df, c) => df.filter(condColumn(df, c)))
+    val filtered = q.where.foldLeft(base)((df, c) => df.filter(predColumn(df, c)))
 
     // GROUP BY / aggregate / project.
     val projected: DataFrame =

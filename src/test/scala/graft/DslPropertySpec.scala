@@ -55,6 +55,21 @@ object DslPropertySpec extends Properties("dsl-vs-sql") {
         f"day BETWEEN DATE '2024-01-$lo%02d' AND DATE '2024-01-$hi%02d'")
     })
 
+  /** Random OR/AND/NOT predicate trees (the DSL extension) as
+    * (json, sql) pairs, bottoming out in [[genCond]] leaves. */
+  private def genPred(depth: Int): Gen[(String, String)] =
+    if (depth <= 0) genCond
+    else Gen.frequency(
+      3 -> genCond,
+      2 -> Gen.listOfN(2, genPred(depth - 1)).map(ps =>
+        (s"""{"or":[${ps.map(_._1).mkString(",")}]}""",
+          ps.map(_._2).mkString("(", " OR ", ")"))),
+      1 -> Gen.listOfN(2, genPred(depth - 1)).map(ps =>
+        (s"""{"and":[${ps.map(_._1).mkString(",")}]}""",
+          ps.map(_._2).mkString("(", " AND ", ")"))),
+      1 -> genPred(depth - 1).map(p =>
+        (s"""{"not":${p._1}}""", s"(NOT ${p._2})")))
+
   /** (dsl-select-item, dsl-output-name, sql-select-expr). */
   private val aggs: Seq[(String, String, String)] = Seq(
     ("""{"SUM":"value"}""", "sum(value)", "sum(value)"),
@@ -124,6 +139,20 @@ object DslPropertySpec extends Properties("dsl-vs-sql") {
     }
     ok
   }
+
+  property("engine equals Spark SQL under OR/AND/NOT predicate trees") =
+    Prop.forAll(genPred(2)) { case (predJson, predSql) =>
+      engine // force view registration
+      val viaDsl = canon(engine.executeJson(
+        s"""{"select":["event_type",{"COUNT":"*"}],"from":"events",
+            "where":[$predJson],"group_by":["event_type"]}"""))
+      val viaSql = canon(spark.sql(
+        s"SELECT event_type, count(*) AS `count(*)` FROM ev_prop " +
+          s"WHERE $predSql GROUP BY event_type"))
+      val ok = viaDsl == viaSql
+      if (!ok) println(s"TREE-MISMATCH\n  json=$predJson\n  sql=$predSql")
+      ok
+    }
 
   // ---- routed-vs-scanned: any query answerable from a rollup must give
   // ---- the same answer through the router as through the fact scan

@@ -27,8 +27,9 @@ class DslSpec extends AnyFunSuite {
          "group_by":["publisher_id"],
          "order_by":[{"col":"COUNT(*)","dir":"desc"},{"col":"publisher_id"}],
          "limit": 7}""")
-    assert(q.where.head.op == Between && q.where.head.values.size == 2)
-    assert(q.where(1).op == In && q.where(1).values.size == 3)
+    val Seq(c0: Cond, c1: Cond) = q.where
+    assert(c0.op == Between && c0.values.size == 2)
+    assert(c1.op == In && c1.values.size == 3)
     assert(q.orderBy == Seq(OrderKey("COUNT(*)", desc = true),
       OrderKey("publisher_id", desc = false)))
     assert(q.limit.contains(7))
@@ -49,6 +50,26 @@ class DslSpec extends AnyFunSuite {
     bad("""{"select":["a"],"where":[{"col":"c","op":"frob","val":1}]}""")
     bad("""{"select":["a"],"where":[{"col":"c","op":"between","val":[1]}]}""")
     bad("""{"select":["a"],"order_by":[{"col":"a","dir":"sideways"}]}""")
+  }
+
+  test("parses OR/AND/NOT predicate trees; canonical key distinguishes them") {
+    val q = QueryJson.parse(
+      """{"select":[{"COUNT":"*"}],"from":"events",
+         "where":[{"or":[{"col":"t","op":"eq","val":"a"},
+                         {"not":{"col":"v","op":"lt","val":5}}]}]}""")
+    val Seq(OrPred(Seq(c: Cond, NotPred(n: Cond)))) = q.where
+    assert(c == Cond("t", Eq, Seq(SLit("a"))) && n.op == Lt)
+    val qAnd = QueryJson.parse(
+      """{"select":[{"COUNT":"*"}],"from":"events",
+         "where":[{"and":[{"col":"t","op":"eq","val":"a"},
+                          {"col":"v","op":"lt","val":5}]}]}""")
+    assert(q.canonicalKey != qAnd.canonicalKey)
+    // a mixed or+and object is ambiguous -> loud failure
+    intercept[QueryJson.DslParseException](QueryJson.parse(
+      """{"select":["a"],"where":[{"or":[{"col":"c","op":"eq","val":1}],
+                                   "and":[{"col":"c","op":"eq","val":1}]}]}"""))
+    intercept[QueryJson.DslParseException](QueryJson.parse(
+      """{"select":["a"],"where":[{"or":[]}]}"""))
   }
 
   test("canonical key is stable and value-sensitive") {

@@ -105,6 +105,37 @@ class EngineSpec extends SparkSpec {
     assert(AggregateRouter.matches(q(
       """{"select":["minute",{"SUM":"value"}],"from":"events",
          "group_by":["minute"]}"""), rollup).isEmpty)
+    // OR/NOT predicate tree, even over rollup keys: reject (obligation 0
+    // — the containment algebra only covers flat conjunctions), and the
+    // engine still answers it correctly from the fact scan
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"or":[{"col":"event_type","op":"eq","val":"click"},
+                         {"col":"event_type","op":"eq","val":"purchase"}]}],
+         "group_by":["day"]}"""), rollup).isEmpty)
+    assert(AggregateRouter.matches(q(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"not":{"col":"event_type","op":"eq","val":"click"}}],
+         "group_by":["day"]}"""), rollup).isEmpty)
+  }
+
+  test("OR/NOT DSL filters compile and match the equivalent Spark SQL") {
+    val got = engine.executeJson(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"or":[{"col":"event_type","op":"eq","val":"purchase"},
+                         {"and":[{"col":"event_type","op":"eq","val":"click"},
+                                 {"col":"value","op":"gt","val":150}]}]},
+                  {"not":{"col":"user_id","op":"lt","val":10}}],
+         "group_by":["event_type"]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+      .createOrReplaceTempView("ev_ornot")
+    val want = spark.sql(
+      """SELECT event_type, count(*) FROM ev_ornot
+         WHERE (event_type = 'purchase' OR (event_type = 'click' AND value > 150))
+           AND NOT (user_id < 10) GROUP BY 1""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty)
   }
 
   test("router proves FILTERED-rollup containment (build filter verbatim in query)") {
