@@ -112,6 +112,15 @@ object PipelineEntries {
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // classifier-eval confusion matrix for the language-ID heuristic
+    // against the corpus's labeled lang — one groupBy over the corpus;
+    // |langs|² output rows at any scale
+    "text_langid_confusion" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -388,6 +397,28 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // kNN label classification (the weak-supervision / label-propagation
+    // primitive): majority vote over the 5 nearest neighbors, ties to
+    // the smallest label — fully deterministic, so the oracle replays
+    // the identical vote. Plan shape = the brute top-k (broadcast
+    // queries over the corpus scan) + two small aggregations over
+    // |queries|*k rows
+    "ann_knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val nn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5)
+      val votes = nn
+        .join(e.select(col("vec_id").as("n_id"), col("label")), "n_id")
+        .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+      graft.operators.Relational.topKPerGroup(votes, Seq("q_id"),
+          Seq(("votes", true), ("label", false)), 1)
+        .join(e.select(col("vec_id").as("q_id"),
+          col("label").as("true_label")), "q_id")
+        .select(col("q_id"), col("label").as("pred_label"), col("votes"),
+          col("true_label"),
+          (col("label") === col("true_label")).as("correct"))
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
@@ -477,6 +508,31 @@ object PipelineEntries {
     "ext_deterministic_split" -> ((s, dir) =>
       docs(s, dir).filter(pmod(col("doc_id"), lit(100)) < 10)
         .select(col("doc_id"), col("lang"))),
+
+    // materialized domain remix: per-source acceptance rate that rescales
+    // the NATURAL token distribution to the temperature-scaled target
+    // (rate ∝ weight/share, max-normalized, rounded to 6dp so the
+    // double arithmetic can't straddle engines), applied as a
+    // deterministic per-doc hash-fraction test — the reproducible
+    // alternative to rand() downsampling. One corpus groupBy to learn
+    // rates, one broadcast join to apply them
+    "ext_domain_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val g = Window.partitionBy()
+      val rates = d.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        .withColumn("share", col("n_tokens").cast(DoubleType) /
+          sum(col("n_tokens")).over(g).cast(DoubleType))
+        .withColumn("w", sqrt(col("share")))
+        .withColumn("ratio", (col("w") / sum(col("w")).over(g)) / col("share"))
+        .withColumn("rate", round(col("ratio") / max(col("ratio")).over(g), 6))
+        .select(col("source"), col("rate"))
+      d.join(broadcast(rates), "source")
+        .filter(pmod(Dedup.portableHash56(col("doc_id")), lit(1000000L))
+          .cast(DoubleType) / lit(1000000.0) < col("rate"))
+        .select(col("doc_id"), col("source"))
+    }),
 
     // stratified cap: at most 50 docs per language (deterministic by
     // doc_id) — the language-rebalancing primitive of corpus curation;
@@ -798,6 +854,29 @@ object PipelineEntries {
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
           FROM sc"""
+    },
+
+    "text_langid_confusion" -> {
+      val de = langScore(Seq("der", "und", "die", "nicht", "das"))
+      val en = langScore(Seq("the", "and", "of", "is", "that"))
+      val es = langScore(Seq("el", "los", "que", "y", "las"))
+      val fr = langScore(Seq("le", "la", "et", "les", "des"))
+      s"""WITH sc AS (
+            SELECT doc_id, lang,
+              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+              $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
+            FROM documents),
+          pred AS (
+            SELECT doc_id, lang, CASE
+              WHEN cjk > 10 THEN 'zh'
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+            FROM sc)
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY 1, 2"""
     },
 
     "text_fingerprint" ->
@@ -1260,6 +1339,26 @@ object PipelineEntries {
            count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY 1""",
 
+    "ext_domain_sample" ->
+      s"""WITH per AS (
+            SELECT source, CAST(sum(len($toksE)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+          t AS (
+            SELECT source, CAST(n_tokens AS DOUBLE)
+              / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+            FROM per),
+          r AS (
+            SELECT source,
+              (sqrt(share) / sum(sqrt(share)) OVER ()) / share AS ratio
+            FROM t),
+          rr AS (
+            SELECT source, round(ratio / max(ratio) OVER (), 6) AS rate
+            FROM r)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN rr USING (source)
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % 1000000 AS DOUBLE) / 1000000.0 < rate""",
+
     "dedup_chunks" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -1438,6 +1537,29 @@ object PipelineEntries {
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5""",
+
+    "ann_knn_classify" ->
+      """WITH nn AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id < 50)
+           WHERE rank <= 5),
+         votes AS (
+           SELECT nn.q_id, e.label, CAST(count(*) AS BIGINT) AS votes
+           FROM nn JOIN embeddings e ON nn.n_id = e.vec_id
+           GROUP BY 1, 2),
+         best AS (
+           SELECT q_id, label, votes FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY votes DESC, label ASC) AS rn FROM votes)
+           WHERE rn = 1)
+         SELECT b.q_id, b.label AS pred_label, b.votes,
+           t.label AS true_label, (b.label = t.label) AS correct
+         FROM best b JOIN embeddings t ON b.q_id = t.vec_id""",
 
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
