@@ -340,6 +340,34 @@ object PipelineEntries {
         .select(col("a"), col("b"), col("c"))
     }),
 
+    // PageRank over the near-dup graph, 3 synchronous iterations at
+    // damping 0.85 (which doc is the HUB of a boilerplate family). Each
+    // iteration = one join edges->ranks + one groupBy — the classic
+    // Pregel-as-joins shape; state per iteration is |nodes| rows, the
+    // corpus never re-enters. The only driver-side value is the node
+    // COUNT (one scalar). Oracle unrolls the same 3 iterations in SQL.
+    "graph_pagerank" -> ((s, dir) => {
+      val p = jaccardPairs05(s, dir)
+      val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = deg.count()
+      var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(deg, "src")
+          .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        pr = deg.select(col("src").as("id"))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("id"), round(col("pr"), 4).as("pr"))
+    }),
+
     // asymmetric containment near-dups: catches short docs embedded in
     // longer ones, which symmetric jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -1277,6 +1305,50 @@ object PipelineEntries {
            UNION
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
+
+    "graph_pagerank" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             any_value(a.n_sh) AS a_n, any_value(b.n_sh) AS b_n
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM p
+           WHERE CAST(shared AS DOUBLE) / CAST(a_n + b_n - shared AS DOUBLE) >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         pr0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         c1 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                FROM edges e JOIN pr0 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.src GROUP BY 1),
+         pr1 AS (SELECT d.src AS id, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c1.s, 0.0) AS pr
+                 FROM deg d LEFT JOIN c1 ON d.src = c1.id),
+         c2 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                FROM edges e JOIN pr1 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.src GROUP BY 1),
+         pr2 AS (SELECT d.src AS id, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c2.s, 0.0) AS pr
+                 FROM deg d LEFT JOIN c2 ON d.src = c2.id),
+         c3 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+                FROM edges e JOIN pr2 p ON e.src = p.id
+                  JOIN deg d ON e.src = d.src GROUP BY 1),
+         pr3 AS (SELECT d.src AS id, 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c3.s, 0.0) AS pr
+                 FROM deg d LEFT JOIN c3 ON d.src = c3.id)
+         SELECT id, round(pr, 4) AS pr FROM pr3""",
 
     "dedup_containment" ->
       """WITH toks AS (

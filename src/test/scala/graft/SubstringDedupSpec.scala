@@ -46,6 +46,30 @@ class SubstringDedupSpec extends SparkSpec {
     assert(shared === 0L)
   }
 
+  test("random corpora: operator equals a naive in-memory reference") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc") // tiny vocab forces window collisions
+    for (trial <- 1 to 15) {
+      val corpus = (0 until 6).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      val naive = corpus
+        .flatMap { case (id, text) =>
+          text.split("\\s+").toSeq.sliding(4).filter(_.size == 4)
+            .map(w => (w.mkString(" "), id))
+        }
+        .groupBy(_._1).values
+        .map(occ => (occ.map(_._2).min, occ.size.toLong, occ.map(_._2).distinct.size.toLong))
+        .filter(_._3 > 1).toSeq.sorted
+      val got = Dedup.substringDupWindows(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", w = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("keep_doc"), r.getAs[Long]("occurrences"),
+          r.getAs[Long]("n_docs"))).toSeq.sorted
+      assert(got == naive, s"trial $trial")
+    }
+  }
+
   test("within-doc repetition alone is not cross-doc duplication") {
     val selfRep = Seq((10L, s"$span $span")).toDF("doc_id", "text")
     assert(Dedup.substringDupWindows(selfRep.union(corpus.filter(col("doc_id") === 3L)),
