@@ -247,6 +247,49 @@ object PipelineEntries {
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
 
+    // CCNet-style unigram LM quality score: corpus unigram probabilities
+    // -> per-doc mean negative log-likelihood (low = fluent under the
+    // corpus distribution, high = outlier). One shuffle to count terms;
+    // the |vocab|-row logprob table then broadcasts back onto the
+    // exploded corpus — the fact side never reshuffles for the join
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val g = Window.partitionBy()
+      val lp = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("logp", log(col("c").cast(DoubleType) /
+          sum(col("c")).over(g).cast(DoubleType)))
+        .select(col("token"), col("logp"))
+      toks.join(broadcast(lp), "token")
+        .groupBy(col("doc_id"))
+        .agg(round(-avg(col("logp")), 4).as("nll"),
+          count(lit(1)).as("n_tok"))
+    }),
+
+    // domain skew: KL(source || corpus) over token distributions — how
+    // far each source's language drifts from the corpus mix (the
+    // domain-weighting diagnostic next to ext_domain_mix). Two count
+    // aggregations + one broadcast join on the |vocab| table; KL sums
+    // run as one more groupBy, never on the driver
+    "text_source_divergence" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val g = Window.partitionBy()
+      val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c").cast(DoubleType) /
+          sum(col("c")).over(g).cast(DoubleType))
+        .select(col("token"), col("p"))
+      val perSrc = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cs"))
+        .withColumn("ps", col("cs").cast(DoubleType) /
+          sum(col("cs")).over(Window.partitionBy(col("source")))
+            .cast(DoubleType))
+      perSrc.join(broadcast(corpus), "token")
+        .groupBy(col("source"))
+        .agg(round(sum(col("ps") * log(col("ps") / col("p"))), 4).as("kl"),
+          count(lit(1)).as("n_terms"))
+    }),
+
     // corpus-wide adjacent-token-pair frequencies — the statistic a
     // BPE/WordPiece trainer computes per merge iteration (word-level
     // here). Top-50 under a TOTAL order (cnt desc, pair asc) so the
@@ -1088,6 +1131,39 @@ object PipelineEntries {
             FROM scored)
           SELECT id, token, round(tfidf, 4) AS tfidf FROM sel
           WHERE rn <= 3 AND id < 50""",
+
+    "text_unigram_logprob" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksLowerE) AS token FROM documents),
+          freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+          tot AS (SELECT sum(c) AS t FROM freq),
+          lp AS (
+            SELECT token, ln(CAST(c AS DOUBLE)
+              / CAST((SELECT t FROM tot) AS DOUBLE)) AS logp
+            FROM freq)
+          SELECT t.doc_id, round(-avg(l.logp), 4) AS nll,
+            CAST(count(*) AS BIGINT) AS n_tok
+          FROM toks t JOIN lp l USING (token)
+          GROUP BY 1""",
+
+    "text_source_divergence" ->
+      s"""WITH toks AS (
+            SELECT source, unnest($toksLowerE) AS token FROM documents),
+          corpus AS (
+            SELECT token, CAST(count(*) AS DOUBLE)
+              / CAST((SELECT count(*) FROM toks) AS DOUBLE) AS p
+            FROM toks GROUP BY 1),
+          per AS (
+            SELECT source, token, count(*) AS cs FROM toks GROUP BY 1, 2),
+          ps AS (
+            SELECT source, token, CAST(cs AS DOUBLE)
+              / CAST(sum(cs) OVER (PARTITION BY source) AS DOUBLE) AS ps
+            FROM per)
+          SELECT ps.source,
+            round(sum(ps.ps * ln(ps.ps / c.p)), 4) AS kl,
+            CAST(count(*) AS BIGINT) AS n_terms
+          FROM ps JOIN corpus c USING (token)
+          GROUP BY 1""",
 
     "dedup_exact" ->
       s"""SELECT md5($normE) AS fp, min(doc_id) AS keep_id,
