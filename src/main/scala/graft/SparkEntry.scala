@@ -106,8 +106,11 @@ object SparkEntry {
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the end-to-end curation funnel (quality gate ∧ language
+    * filter ∧ near-dup removal → token-budget sequence packing) as one
+    * Catalyst plan — the library's distinctive surface in a single query. */
   def entry(spark: SparkSession): DataFrame =
-    queries("tpch_q1")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_curate_pack")(spark, "/root/testdata/sf0.001")
 
   // -------------------------------------------------------------- queries
 
