@@ -554,13 +554,25 @@ object PipelineEntries {
 
     // per-label embedding centroid: the k-means/update-step and
     // class-prototype primitive. posexplode keeps rows O(1)-sized (no
-    // vector ever shuffles whole); partial avg aggregates map-side.
+    // vector ever shuffles whole); partial sum aggregates map-side.
+    // Elements are quantized to 1e-6-scaled integers BEFORE the sum so
+    // the aggregation is exact and order-free — a double-typed avg
+    // re-associates across partitions, and at sf0.1 an element mean
+    // landed exactly on a .00005 rounding boundary, flipping the 4dp
+    // output between engines (found by the sf0.1 full-oracle run)
     "emb_label_centroid" -> ((s, dir) =>
       embeddings(s, dir)
         .select(col("label").cast(LongType).as("label"),
           posexplode(col("embedding")))
-        .groupBy(col("label"), (col("pos") + lit(1)).cast(LongType).as("pos"))
-        .agg(round(avg(col("col")), 4).as("c"))),
+        .select(col("label"), (col("pos") + lit(1)).cast(LongType).as("pos"),
+          round(col("col").cast(DoubleType) * lit(1000000.0), 0)
+            .cast(LongType).as("q"))
+        .groupBy(col("label"), col("pos"))
+        // + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0), which
+        // would otherwise hash-mismatch as the string "-0" vs "0"
+        .agg((round(sum(col("q")).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4) + lit(0.0))
+          .as("c"))),
 
     // deterministic shard assignment: portable md5-56 hash of the doc id
     // mod 8 — the reproducible any-engine alternative to rand() sharding;
@@ -1475,8 +1487,11 @@ object PipelineEntries {
 
     "emb_label_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
-           round(avg(e), 4) AS c
-         FROM (SELECT label, unnest(embedding) AS e,
+           round(CAST(sum(q) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) + 0.0 AS c
+         FROM (SELECT label,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS q,
                  generate_subscripts(embedding, 1) AS pos
                FROM embeddings)
          GROUP BY 1, 2""",
