@@ -438,7 +438,11 @@ object Dedup {
                                        dfCap: Int = 50): DataFrame = {
     val hs = sigs.select(col("id"), col("hs"))
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
+    // |vocab|-sized; persisted because BOTH the rare-candidate filter and
+    // the stop-shingle profile consume it — one corpus-scale aggregation
+    // pass instead of two (lazy, so the operator stays a plain DataFrame)
     val dfc = inv.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val invR = inv.join(dfc.filter(col("c").between(2, dfCap))
       .select(col("g")), Seq("g"))
     val pairs = invR.select(col("g"), col("id").as("a_id"))
