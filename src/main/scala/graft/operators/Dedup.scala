@@ -489,16 +489,22 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the tokenize->shingle->hash corpus scan feeds FOUR branches (df
+    // counts, both sides of the prefix self-join via pref, and the
+    // verify signatures) — persist it so the scan runs once, not per
+    // branch (same one-pass rationale as the blocked operator's df table)
     val inv = shingleDf(df, idCol, textCol, n)
       .select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
       .select(col("id"), col("n_sh"), portableHash56(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("id")).orderBy(col("c").asc, col("h").asc)
     val pref = inv.join(dfc, Seq("h"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pref.select(col("h"), col("id").as("a_id"),
         col("n_sh").as("a_n"))
       .join(pref.select(col("h"), col("id").as("b_id"),
