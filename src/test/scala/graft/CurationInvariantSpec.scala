@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the statistical curation ops — properties
+  * the DuckDB hash oracle cannot express (they hold for ANY corpus, not
+  * just the fixture). */
+class CurationInvariantSpec extends SparkSpec {
+
+  test("pagerank conserves probability mass (no dangling nodes)") {
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val sum = pr.agg(org.apache.spark.sql.functions.sum(col("pr")))
+      .head().getDouble(0)
+    // undirected edge list -> every node has out-degree >= 1, so the
+    // damped walk loses no mass; 4dp rounding bounds the drift
+    assert(math.abs(sum - 1.0) < 1e-2, s"pagerank mass = $sum")
+  }
+
+  test("domain-mix weights and shares each sum to 1") {
+    val m = SparkEntry.queries("ext_domain_mix")(spark, sfDir)
+    val r = m.agg(org.apache.spark.sql.functions.sum(col("share")),
+      org.apache.spark.sql.functions.sum(col("weight"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-2, s"share sum ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-2, s"weight sum ${r.getDouble(1)}")
+  }
+
+  test("domain-sample rates never exceed 1 and the hottest source is capped at 1") {
+    // recompute rates the way the entry does, on the raw corpus
+    val d = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
+    val docsPerSrc = d.groupBy(col("source")).count()
+    val kept = SparkEntry.queries("ext_domain_sample")(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    val joined = docsPerSrc.join(kept, Seq("source"), "left").collect()
+    // a rate can never yield more kept docs than exist
+    assert(joined.forall(r => r.getAs[Long]("kept") <= r.getAs[Long]("count")))
+  }
+
+  test("unigram NLL is non-negative and bounded by ln(corpus tokens)") {
+    val lp = SparkEntry.queries("text_unigram_logprob")(spark, sfDir)
+    val mx = lp.agg(max(col("nll")), min(col("nll"))).head()
+    assert(mx.getDouble(1) >= 0.0)
+    // -ln p >= 0 and p >= 1/total -> nll <= ln(total); total < 1e6 here
+    assert(mx.getDouble(0) <= math.log(1e6))
+  }
+}
