@@ -77,6 +77,17 @@ class CatalystRuleSpec extends SparkSpec {
     assert(rule.fired == before, "unsound rewrite fired (measure filter)")
   }
 
+  test("refuses rewrite for a disjunctive filter touching a measure") {
+    rule
+    val before = rule.fired
+    // a same-column OR would be folded to In (routable, sound) by
+    // OptimizeIn; an OR reaching a MEASURE must fall through to the scan
+    val df = factDf.filter(col("event_type") === "purchase" || col("value") > 100)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    df.collect()
+    assert(rule.fired == before, "unsound rewrite fired (OR over a measure)")
+  }
+
   test("refuses rewrite for non-measure aggregates") {
     rule
     val before = rule.fired
