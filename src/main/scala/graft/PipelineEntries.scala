@@ -89,6 +89,28 @@ object PipelineEntries {
     })
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
+
+  /** Hash-sharded greedy sequence packing over (doc_id, lang, n_tokens):
+    * route each doc to a deterministic shard (portable md5-56 of doc_id
+    * mod [[PackShards]]), run the streaming first-fit running sum per
+    * (lang, shard), and mint a globally-unique pack_id = shard * 2^32 +
+    * local pack index. The window key has cardinality |langs| x shards,
+    * so no single reducer ever sorts the corpus — the per-lang variant
+    * of this window is the classic 100 TB scale-killer. */
+  private val PackShards = 32
+  private def packGreedy(docsTok: DataFrame, budget: Double = 2048.0): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsTok
+      .withColumn("shard",
+        pmod(Dedup.portableHash56(col("doc_id")), lit(PackShards.toLong)))
+      .withColumn("cs", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"),
+        (col("shard") * lit(4294967296L) +
+          floor((col("cs") - col("n_tokens")) / lit(budget)).cast(LongType))
+          .as("pack_id"))
+  }
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.schema.DirCatalog(dir).table(s, "events")
 
@@ -194,22 +216,21 @@ object PipelineEntries {
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
           col("col").as("tok"))),
 
-    // sequence packing: greedy contiguous fill of a 2048-token budget per
-    // language shard (the LLM-pretraining batching primitive). The
-    // running-sum window partitions by shard so no single global sort
-    // bottlenecks the corpus; pack_id = floor((cumsum - n) / budget)
-    // is the streaming first-fit approximation, stated identically in
-    // the oracle.
-    "ext_pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-        .withColumn("cs", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor((col("cs") - col("n_tokens")) / lit(2048.0))
-            .cast(LongType).as("pack_id"))
-    }),
+    // sequence packing: greedy contiguous fill of a 2048-token budget
+    // (the LLM-pretraining batching primitive). Documents are first
+    // routed to one of 32 deterministic hash shards (portable md5-56 of
+    // doc_id, so the oracle replays the routing), then packed per
+    // (lang, shard) with pack_id = floor((cumsum - n) / budget) — the
+    // streaming first-fit approximation. Language cardinality is tiny,
+    // so a per-lang window would funnel the whole corpus through ONE
+    // reducer at scale; the hash shard makes the running sum
+    // embarrassingly parallel (|langs| x 32 independent partitions,
+    // and nShards scales with the cluster) while each shard is still a
+    // valid greedy first-fit stream. pack_id = shard * 2^32 + local id
+    // keeps ids globally unique.
+    "ext_pack_sequences" -> ((s, dir) =>
+      packGreedy(docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens")))),
 
     // flagship composition — the full curation funnel in ONE declarative
     // plan: quality gate (Gopher signals with thresholds fit to the
@@ -235,12 +256,11 @@ object PipelineEntries {
         .join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      keep.withColumn("cs", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("n_tokens"),
-          floor((col("cs") - col("n_tokens")) / lit(2048.0))
-            .cast(LongType).as("pack_id"))
+      // hash-sharded greedy packing (see ext_pack_sequences): the lang
+      // filter above collapses the corpus to ONE language, so a per-lang
+      // window here would be a single-reducer sort of everything kept
+      packGreedy(keep).select(col("doc_id"), col("n_tokens"),
+        col("shard"), col("pack_id"))
     }),
 
     // corpus vocabulary: top-100 tokens by frequency
@@ -250,43 +270,60 @@ object PipelineEntries {
     // CCNet-style unigram LM quality score: corpus unigram probabilities
     // -> per-doc mean negative log-likelihood (low = fluent under the
     // corpus distribution, high = outlier). One shuffle to count terms;
-    // the |vocab|-row logprob table then broadcasts back onto the
-    // exploded corpus — the fact side never reshuffles for the join
+    // the corpus total is a 1-row aggregate broadcast back onto the
+    // |vocab| table (NEVER a Window.partitionBy() — an empty-key window
+    // funnels the whole vocabulary, billions of rows at web scale,
+    // through one partition); the |vocab|-row logprob table then
+    // broadcasts onto the exploded corpus, so the fact side never
+    // reshuffles for the join. Log-probs are quantized to 1e-6 integers
+    // BEFORE the per-doc sum so the aggregation is exact and order-free
+    // (a double sum re-associates across partitions and can flip the
+    // 4dp output between engines — the emb_label_centroid precedent).
     "text_unigram_logprob" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-      val g = Window.partitionBy()
-      val lp = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-        .withColumn("logp", log(col("c").cast(DoubleType) /
-          sum(col("c")).over(g).cast(DoubleType)))
-        .select(col("token"), col("logp"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).as("t"))
+      val lp = counts.crossJoin(broadcast(tot))
+        .select(col("token"),
+          round(log(col("c").cast(DoubleType) / col("t").cast(DoubleType))
+            * lit(1000000.0), 0).cast(LongType).as("q"))
       toks.join(broadcast(lp), "token")
         .groupBy(col("doc_id"))
-        .agg(round(-avg(col("logp")), 4).as("nll"),
+        .agg(round(-sum(col("q")).cast(DoubleType) /
+            (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4).as("nll"),
           count(lit(1)).as("n_tok"))
     }),
 
     // domain skew: KL(source || corpus) over token distributions — how
     // far each source's language drifts from the corpus mix (the
-    // domain-weighting diagnostic next to ext_domain_mix). Two count
-    // aggregations + one broadcast join on the |vocab| table; KL sums
-    // run as one more groupBy, never on the driver
+    // domain-weighting diagnostic next to ext_domain_mix). Totals are
+    // 1-row / |sources|-row aggregates broadcast back onto the vocab
+    // tables (never an empty-key or per-source window — either funnels
+    // the per-source vocabulary through one partition at scale); KL
+    // terms are quantized to 1e-9 integers before the sum so the
+    // per-source aggregation is exact and order-free across engines.
     "text_source_divergence" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("source"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-      val g = Window.partitionBy()
-      val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-        .withColumn("p", col("c").cast(DoubleType) /
-          sum(col("c")).over(g).cast(DoubleType))
-        .select(col("token"), col("p"))
-      val perSrc = toks.groupBy(col("source"), col("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).as("t"))
+      val corpus = counts.crossJoin(broadcast(tot))
+        .select(col("token"),
+          (col("c").cast(DoubleType) / col("t").cast(DoubleType)).as("p"))
+      val perCnt = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("cs"))
-        .withColumn("ps", col("cs").cast(DoubleType) /
-          sum(col("cs")).over(Window.partitionBy(col("source")))
-            .cast(DoubleType))
+      val perTot = perCnt.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+      val perSrc = perCnt.join(broadcast(perTot), "source")
+        .select(col("source"), col("token"),
+          (col("cs").cast(DoubleType) / col("ts").cast(DoubleType)).as("ps"))
       perSrc.join(broadcast(corpus), "token")
+        .select(col("source"),
+          round(col("ps") * log(col("ps") / col("p")) * lit(1000000000.0), 0)
+            .cast(LongType).as("q"))
         .groupBy(col("source"))
-        .agg(round(sum(col("ps") * log(col("ps") / col("p"))), 4).as("kl"),
+        .agg(round(sum(col("q")).cast(DoubleType) / lit(1000000000.0), 4)
+            .as("kl"),
           count(lit(1)).as("n_terms"))
     }),
 
@@ -389,6 +426,13 @@ object PipelineEntries {
     // Pregel-as-joins shape; state per iteration is |nodes| rows, the
     // corpus never re-enters. The only driver-side value is the node
     // COUNT (one scalar). Oracle unrolls the same 3 iterations in SQL.
+    // ACCEPTED FLOAT RISK: the per-node contribution sums are double
+    // adds whose association order differs between engines; unlike the
+    // quantized entries (emb_label_centroid, text_unigram_logprob) the
+    // terms here feed the NEXT iteration, so quantizing would change
+    // the algorithm. Node degrees are tiny (sums of <10 terms), so the
+    // reassociation error ~1e-16 vs the 5e-5 rounding boundary — a
+    // cross-engine 4dp flip needs a value within 1e-11 of a boundary.
     "graph_pagerank" -> ((s, dir) => {
       val p = jaccardPairs05(s, dir)
       val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -1029,12 +1073,16 @@ object PipelineEntries {
 
     "ext_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang,
-            CAST(len($toksE) AS BIGINT) AS n_tokens FROM documents),
-          cum AS (SELECT doc_id, lang, n_tokens,
-            sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            CAST(len($toksE) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 32
+              AS shard
+          FROM documents),
+          cum AS (SELECT doc_id, lang, n_tokens, shard,
+            sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
               ROWS UNBOUNDED PRECEDING) AS cs FROM t)
-          SELECT doc_id, lang, n_tokens,
-            CAST(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+          SELECT doc_id, lang, n_tokens, shard,
+            CAST(shard * 4294967296 + floor((cs - n_tokens) / 2048.0) AS BIGINT)
+              AS pack_id
           FROM cum""",
 
     "text_token_bpe_regex" ->
@@ -1144,38 +1192,52 @@ object PipelineEntries {
           SELECT id, token, round(tfidf, 4) AS tfidf FROM sel
           WHERE rn <= 3 AND id < 50""",
 
+    // log-probs quantized to 1e-6 integers before the per-doc sum (see
+    // the Spark entry: exact order-free aggregation on both engines)
     "text_unigram_logprob" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksLowerE) AS token FROM documents),
           freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
           tot AS (SELECT sum(c) AS t FROM freq),
           lp AS (
-            SELECT token, ln(CAST(c AS DOUBLE)
-              / CAST((SELECT t FROM tot) AS DOUBLE)) AS logp
+            SELECT token, CAST(round(ln(CAST(c AS DOUBLE)
+              / CAST((SELECT t FROM tot) AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS q
             FROM freq)
-          SELECT t.doc_id, round(-avg(l.logp), 4) AS nll,
+          SELECT t.doc_id,
+            round(-CAST(sum(l.q) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS nll,
             CAST(count(*) AS BIGINT) AS n_tok
           FROM toks t JOIN lp l USING (token)
           GROUP BY 1""",
 
+    // KL terms quantized to 1e-9 integers before the per-source sum
+    // (see the Spark entry: exact order-free aggregation)
     "text_source_divergence" ->
       s"""WITH toks AS (
             SELECT source, unnest($toksLowerE) AS token FROM documents),
+          freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+          tot AS (SELECT sum(c) AS t FROM freq),
           corpus AS (
-            SELECT token, CAST(count(*) AS DOUBLE)
-              / CAST((SELECT count(*) FROM toks) AS DOUBLE) AS p
-            FROM toks GROUP BY 1),
+            SELECT token, CAST(c AS DOUBLE)
+              / CAST((SELECT t FROM tot) AS DOUBLE) AS p
+            FROM freq),
           per AS (
             SELECT source, token, count(*) AS cs FROM toks GROUP BY 1, 2),
+          pt AS (SELECT source, sum(cs) AS ts FROM per GROUP BY 1),
           ps AS (
-            SELECT source, token, CAST(cs AS DOUBLE)
-              / CAST(sum(cs) OVER (PARTITION BY source) AS DOUBLE) AS ps
-            FROM per)
-          SELECT ps.source,
-            round(sum(ps.ps * ln(ps.ps / c.p)), 4) AS kl,
+            SELECT per.source, per.token,
+              CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE) AS ps
+            FROM per JOIN pt USING (source)),
+          q AS (
+            SELECT ps.source,
+              CAST(round(ps.ps * ln(ps.ps / c.p) * 1000000000.0, 0)
+                AS BIGINT) AS q
+            FROM ps JOIN corpus c USING (token))
+          SELECT source,
+            round(CAST(sum(q) AS DOUBLE) / 1000000000.0, 4) AS kl,
             CAST(count(*) AS BIGINT) AS n_terms
-          FROM ps JOIN corpus c USING (token)
-          GROUP BY 1""",
+          FROM q GROUP BY 1""",
 
     "dedup_exact" ->
       s"""SELECT md5($normE) AS fp, min(doc_id) AS keep_id,
@@ -1302,7 +1364,9 @@ object PipelineEntries {
                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS alpha_ratio
            FROM (SELECT doc_id, $toksE AS toks, text FROM documents)),
          keep AS (
-           SELECT d.doc_id, d.lang, CAST(len($toksE) AS BIGINT) AS n_tokens
+           SELECT d.doc_id, d.lang, CAST(len($toksE) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT % 32
+               AS shard
            FROM documents d JOIN gop USING (doc_id)
            WHERE d.lang = 'en'
              AND gop.n_words >= 50
@@ -1311,12 +1375,13 @@ object PipelineEntries {
              AND d.doc_id NOT IN
                (SELECT id FROM clusters WHERE id <> cluster_id)),
          cum AS (
-           SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING) AS cs
            FROM keep)
-         SELECT doc_id, n_tokens,
-           CAST(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+         SELECT doc_id, n_tokens, shard,
+           CAST(shard * 4294967296 + floor((cs - n_tokens) / 2048.0) AS BIGINT)
+             AS pack_id
          FROM cum""",
 
     "graph_degrees" ->

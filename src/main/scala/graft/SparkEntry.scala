@@ -105,10 +105,10 @@ object SparkEntry {
 
   // ------------------------------------------------------------- flagship
 
-  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   /** Flagship: the end-to-end curation funnel (quality gate ∧ language
     * filter ∧ near-dup removal → token-budget sequence packing) as one
-    * Catalyst plan — the library's distinctive surface in a single query. */
+    * Catalyst plan — the library's distinctive surface in a single query.
+    * Runs on sf0.001; the driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     queries("pipeline_curate_pack")(spark, "/root/testdata/sf0.001")
 

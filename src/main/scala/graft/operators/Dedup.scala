@@ -31,6 +31,27 @@ object Dedup {
   private def staged(df: DataFrame, stage: Boolean): DataFrame =
     if (stage) df.localCheckpoint(false) else df
 
+  /** Operator-internal persisted intermediates (the blocked-jaccard df
+    * table, the prefix-filter inverted index). Each invocation creates
+    * fresh ones, so a long session (or a bench loop) accumulates cached
+    * blocks with nothing to unpersist them; every one is registered here
+    * and [[releaseIntermediates]] drops them all. Callers that re-execute
+    * a previously returned DataFrame after release simply recompute. */
+  private val pooled =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def pooledPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pooled.add(p)
+    p
+  }
+
+  /** Unpersist every operator-internal intermediate registered since the
+    * last call (non-blocking). */
+  def releaseIntermediates(): Unit = {
+    var df = pooled.poll()
+    while (df != null) { df.unpersist(false); df = pooled.poll() }
+  }
+
   // --------------------------------------------------------------- exact
 
   /** Exact dedup via content digest: one shuffle on md5 (16 bytes),
@@ -441,8 +462,7 @@ object Dedup {
     // |vocab|-sized; persisted because BOTH the rare-candidate filter and
     // the stop-shingle profile consume it — one corpus-scale aggregation
     // pass instead of two (lazy, so the operator stays a plain DataFrame)
-    val dfc = inv.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = pooledPersist(inv.groupBy(col("g")).agg(count(lit(1)).as("c")))
     val invR = inv.join(dfc.filter(col("c").between(2, dfCap))
       .select(col("g")), Seq("g"))
     val pairs = invR.select(col("g"), col("id").as("a_id"))
@@ -493,25 +513,31 @@ object Dedup {
     // counts, both sides of the prefix self-join via pref, and the
     // verify signatures) — persist it so the scan runs once, not per
     // branch (same one-pass rationale as the blocked operator's df table)
-    val inv = shingleDf(df, idCol, textCol, n)
+    val inv = pooledPersist(shingleDf(df, idCol, textCol, n)
       .select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
-      .select(col("id"), col("n_sh"), portableHash56(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("n_sh"), portableHash56(col("s")).as("h")))
     val dfc = inv.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    // ceil(t*n) in DOUBLE arithmetic can round UP across an integer
+    // boundary when t's binary representation exceeds its rational value
+    // (e.g. 0.1 * 10 = 1.0000000000000002 -> ceil 2): that would shorten
+    // the prefix / over-prune lengths and silently break the
+    // zero-recall-loss guarantee. Subtracting a sub-rounding epsilon
+    // before ceil restores the rational bound; an epsilon-induced
+    // UNDER-restriction merely admits extra candidates, which the exact
+    // verification below discards.
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     val w = Window.partitionBy(col("id")).orderBy(col("c").asc, col("h").asc)
-    val pref = inv.join(dfc, Seq("h"))
+    val pref = pooledPersist(inv.join(dfc, Seq("h"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("rn") <= col("n_sh") - ceilT(col("n_sh")) + 1))
     val cand = pref.select(col("h"), col("id").as("a_id"),
         col("n_sh").as("a_n"))
       .join(pref.select(col("h"), col("id").as("b_id"),
         col("n_sh").as("b_n")), Seq("h"))
       .filter(col("a_id") < col("b_id") &&
-        col("a_n") >= ceil(lit(threshold) * col("b_n")) &&
-        col("b_n") >= ceil(lit(threshold) * col("a_n")))
+        col("a_n") >= ceilT(col("b_n")) &&
+        col("b_n") >= ceilT(col("a_n")))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val sigs = inv.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))

@@ -228,6 +228,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("sequence packing: no single-reducer window — every Window/Sort is hash-sharded") {
+    // the scale contract of ext_pack_sequences / pipeline_curate_pack:
+    // the running-sum window must partition by (lang, shard), never by
+    // lang alone (lang cardinality is tiny — and the flagship filters to
+    // ONE language, which would funnel the kept corpus through a single
+    // reducer at 100 TB)
+    for (name <- Seq("ext_pack_sequences", "pipeline_curate_pack")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = finalPlan(df)
+      val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.nonEmpty, s"$name: no Window node found:\n$plan")
+      assert(windowLines.forall(l => l.contains("shard")),
+        s"$name: Window not partitioned by shard:\n${windowLines.mkString("\n")}")
+      // and the partitioning exchange feeding it keys on the shard too
+      val exch = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exch.exists(_.contains("shard")),
+        s"$name: no shard-keyed exchange:\n${exch.mkString("\n")}")
+    }
+  }
+
+  test("vocabulary normalizations run as broadcast totals, not empty-key windows") {
+    // text_unigram_logprob / text_source_divergence: the corpus total
+    // must be a 1-row aggregate joined back (broadcast), never a
+    // Window.partitionBy() — an empty-key window moves the whole |vocab|
+    // table (billions of rows at web scale) through one partition
+    for (name <- Seq("text_unigram_logprob", "text_source_divergence")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = finalPlan(df)
+      assert(!plan.contains("Window"),
+        s"$name: unexpected Window node (should be agg + broadcast join):\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name: no broadcast join for the totals:\n$plan")
+    }
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
