@@ -17,10 +17,10 @@ import graft.streaming.StreamOps
   *    (Spark replaces all by default);
   *  - everything arithmetic is stated in the same operation order on both
   *    sides so doubles match bit-for-bit before the final round(.,4);
-  *  - LSH-based ops (minhash/simhash/ann_lsh) are deliberately NOT
-  *    oracled: their output is exact-but-approximate-recall, which SQL
-  *    cannot restate faithfully — the ScalaTest suite pins them against
-  *    the exact-pairs ground truth instead.
+  *  - LSH/IVF-based ops ARE oracled where the hash family / training
+  *    loop is engine-portable (portable md5-56 planes, deterministic
+  *    Lloyd unrolled in SQL); the ScalaTest suite additionally pins
+  *    their recall against exact ground truth.
   */
 object PipelineEntries {
 
@@ -390,9 +390,19 @@ object PipelineEntries {
       Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.7)),
 
+    // exact all-pairs cosine — the VERIFICATION BASELINE for the banded
+    // LSH scale path below (O(N^2); never the production path)
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)),
+
+    // scale path: banded portable sign-LSH candidates + exact cosine
+    // verify (one (band, bucket) shuffle instead of a crossJoin); the
+    // oracle replays the identical banded contract, and PipelineSpec
+    // pins recall against the exact baseline
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.lshCosinePairs(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45, bands = 16, planesPerBand = 4)),
 
     // duplicate-cluster resolution over exact near-dup pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -534,12 +544,17 @@ object PipelineEntries {
           (col("label") === col("true_label")).as("correct"))
     }),
 
+    // sign-LSH top-k over portable md5-56 hyperplanes: the oracle
+    // replays the identical buckets, 1-bit probes, and exact re-rank
     "ann_lsh_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numPlanes = 6)
     }),
 
+    // IVF top-k from the shared trained index; training is fully
+    // deterministic (lowest-id init, 3 Lloyd rounds, argmax ties to the
+    // lowest centroid), so the oracle unrolls the identical iterations
     "ann_ivf_topk" -> ((s, dir) => {
       val (cent, bucketed) = ivfIndex(s, dir)
       Similarity.ivfTopKFromIndex(bucketed, cent,
@@ -547,8 +562,8 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
-    // PQ-ADC with exact re-rank — rows-only (codebooks come from Lloyd
-    // iterations; no faithful SQL restatement). Recall pinned by tests.
+    // PQ-ADC with exact re-rank; the deterministic Lloyd codebook
+    // training is unrolled in the oracle. Recall also pinned by tests.
     "ann_pq_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val cb = graft.operators.Quantization.trainPq(e, "vec_id", "embedding",
@@ -557,8 +572,8 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, cb)
     }),
 
-    // IVF + PQ composed (the production ANN layout) — rows-only, same
-    // trained-state reasoning; recall pinned by tests
+    // IVF + PQ composed (the production ANN layout); both trainings
+    // unrolled in the oracle, recall also pinned by tests
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.operators.Quantization.ivfPqTopK(e, e.filter(col("vec_id") < 10),
@@ -1719,6 +1734,289 @@ object PipelineEntries {
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
 
+    // sign-LSH ANN restated end to end: hyperplane component (p, i) is
+    // the portable md5-56 of "p_i" mapped to [-1, 1) (the identical
+    // expression the Spark side evaluates), bucket = OR of 6 sign bits,
+    // probes = own bucket + every 1-bit flip, candidates = corpus
+    // vectors in a probe bucket, exact cosine re-rank top-5. Dot
+    // products are strict index-order double folds on both engines, so
+    // the sign decisions agree bit-for-bit.
+    "ann_lsh_topk" ->
+      """WITH bits AS (
+           SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+                 CAST(v AS DOUBLE) *
+                   (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' ||
+                     CAST(i - 1 AS VARCHAR)), 1, 14))::BIGINT
+                    / 36028797018963968.0 - 1.0))) >= 0
+               THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+           FROM embeddings, range(6) t(p)),
+         bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+                FROM bits GROUP BY 1),
+         probes AS (
+           SELECT qb.vec_id AS q_id, xor(qb.bucket, f.v) AS pb
+           FROM bk qb, (VALUES (0::BIGINT), (1), (2), (4), (8), (16), (32)) f(v)
+           WHERE qb.vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, cb.vec_id AS n_id
+           FROM probes p JOIN bk cb
+             ON cb.bucket = p.pb AND cb.vec_id <> p.q_id),
+         scored AS (
+           SELECT c.q_id, c.n_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+               n.embedding::DOUBLE[]) AS cosine
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.q_id
+           JOIN embeddings n ON n.vec_id = c.n_id)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
+         WHERE rn <= 5""",
+
+    // IVF ANN restated end to end, Lloyd training unrolled (the
+    // graph_pagerank precedent for iterative oracles): init = the 16
+    // lowest-id vectors (bucket index = id order), then 3 rounds of
+    // {assign every vector to its cosine-argmax centroid (ties -> lowest
+    // bucket), recompute centroids as per-(bucket, dim) means cast to
+    // REAL — the same float32 quantization the Spark side applies, which
+    // absorbs double-summation reassociation between engines; empty
+    // buckets keep their centroid}. Queries probe their 4 nearest final
+    // centroids (struct-sort ties -> HIGHEST bucket, matching the Spark
+    // reverse(array_sort)), candidates come from those buckets only,
+    // exact cosine re-rank top-5.
+    "ann_ivf_topk" -> {
+      def assign(cents: String, name: String, tie: String = "ASC") =
+        s"""$name AS (SELECT vec_id, b FROM (
+             SELECT e.vec_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
+                   c.b $tie) AS rn
+             FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+      def update(asg: String, prev: String, un: String, cn: String) =
+        s"""$un AS (SELECT a.b, x.pos,
+               CAST(CAST(avg(x.val) AS REAL) AS DOUBLE) AS m
+             FROM $asg a JOIN x USING (vec_id) GROUP BY 1, 2),
+           $cn AS (SELECT c.b, CASE WHEN count(u.m) > 0
+               THEN list(u.m ORDER BY u.pos)
+               ELSE any_value(c.cent) END AS cent
+             FROM $prev c LEFT JOIN $un u ON c.b = u.b GROUP BY c.b)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos FROM e),
+         c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS b, v AS cent
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         ${assign("c0", "a1")},
+         ${update("a1", "c0", "u1", "c1")},
+         ${assign("c1", "a2")},
+         ${update("a2", "c1", "u2", "c2")},
+         ${assign("c2", "a3")},
+         ${update("a3", "c2", "u3", "c3")},
+         ${assign("c3", "af")},
+         pr AS (SELECT vec_id AS q_id, b AS bucket FROM (
+             SELECT e.vec_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
+                   c.b DESC) AS rn
+             FROM e CROSS JOIN c3 c WHERE e.vec_id < 10) WHERE rn <= 4),
+         cand AS (SELECT p.q_id, a.vec_id AS n_id
+                  FROM pr p JOIN af a ON a.b = p.bucket
+                  WHERE a.vec_id <> p.q_id),
+         scored AS (
+           SELECT c.q_id, c.n_id,
+             list_cosine_similarity(q.v, n.v) AS cosine
+           FROM cand c
+           JOIN e q ON q.vec_id = c.q_id
+           JOIN e n ON n.vec_id = c.n_id)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
+         WHERE rn <= 5"""
+    },
+
+    // PQ-ADC restated end to end: subspace codebooks trained by the same
+    // unrolled Lloyd rounds (init = subvectors of the 16 lowest-id
+    // vectors; encode = squared-L2 argmin, ties -> lowest code; update =
+    // per-(subspace, code, dim) mean; empty cells keep their centroid),
+    // then ADC scoring sum_s dot[s][code_s] / (|q| sqrt(sum_s
+    // nrm[s][code_s])), refine*k=20 shortlist by (adc, n_id), exact
+    // float cosine re-rank top-5. Codebook means stay DOUBLE (the Spark
+    // trainer holds doubles); the 4dp-rounded output tolerates the
+    // sub-1e-13 cross-engine summation jitter unless a value sits on a
+    // rounding boundary — accepted, like graph_pagerank.
+    "ann_pq_topk" -> {
+      // dsub = 64/8 = 8 dims per subspace; k = 16 codes; iters = 2
+      def encode(cb: String, name: String) =
+        s"""$name AS (SELECT vec_id, s, j AS code FROM (
+             SELECT sub.vec_id, sub.s, c.j,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_sum(list_transform(sub.subv, (a, i) ->
+                   (a - c.cent[i]) * (a - c.cent[i]))) ASC, c.j ASC) AS rn
+             FROM sub JOIN $cb c ON c.s = sub.s) WHERE rn = 1)"""
+      def update(asg: String, prev: String, un: String, cn: String) =
+        s"""$un AS (SELECT a.s, a.code, sx.pos,
+               avg(sx.val) AS m
+             FROM $asg a
+             JOIN (SELECT vec_id, s, unnest(subv) AS val,
+                     generate_subscripts(subv, 1) AS pos FROM sub) sx
+               ON sx.vec_id = a.vec_id AND sx.s = a.s
+             GROUP BY 1, 2, 3),
+           $cn AS (SELECT c.s, c.j, CASE WHEN count(u.m) > 0
+               THEN list(u.m ORDER BY u.pos)
+               ELSE any_value(c.cent) END AS cent
+             FROM $prev c LEFT JOIN $un u ON u.s = c.s AND u.code = c.j
+             GROUP BY c.s, c.j)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS subv
+                 FROM e, range(8) t(s)),
+         cb0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j,
+                   subv AS cent
+                 FROM sub WHERE vec_id IN
+                   (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         ${encode("cb0", "e1")},
+         ${update("e1", "cb0", "u1", "cb1")},
+         ${encode("cb1", "e2")},
+         ${update("e2", "cb1", "u2", "cb2")},
+         ${encode("cb2", "ef")},
+         nrm AS (SELECT s, j, list_sum(list_transform(cent, x -> x * x)) AS w
+                 FROM cb2),
+         q AS (SELECT vec_id AS q_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+               FROM e WHERE vec_id < 10),
+         dots AS (SELECT q.q_id, c.s, c.j,
+                 list_sum(list_transform(c.cent, (x, i) ->
+                   x * q.v[c.s * 8 + i])) AS d
+               FROM q CROSS JOIN cb2 c),
+         adc AS (
+           SELECT q.q_id, f.vec_id AS n_id,
+             sum(d.d) / (any_value(q.qn) * sqrt(sum(n.w))) AS adc
+           FROM q
+           JOIN ef f ON f.vec_id <> q.q_id
+           JOIN dots d ON d.q_id = q.q_id AND d.s = f.s AND d.j = f.code
+           JOIN nrm n ON n.s = f.s AND n.j = f.code
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc DESC, n_id ASC) AS rn FROM adc)
+           WHERE rn <= 20),
+         scored AS (
+           SELECT s.q_id, s.n_id,
+             list_cosine_similarity(q.v, n.v) AS cosine
+           FROM short s
+           JOIN e q ON q.vec_id = s.q_id
+           JOIN e n ON n.vec_id = s.n_id)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
+         WHERE rn <= 5"""
+    },
+
+    // IVF+PQ composed: the ann_ivf_topk centroid training (3 rounds,
+    // REAL-cast means) + the ann_pq_topk codebook training (3 rounds
+    // here — the entry uses trainPq defaults) + ADC over the probed
+    // buckets only. Probe ties here -> LOWEST bucket (the driver-side
+    // sortBy(-s, i)), unlike ann_ivf_topk's struct-sort.
+    "ann_ivfpq_topk" -> {
+      def cassign(cents: String, name: String) =
+        s"""$name AS (SELECT vec_id, b FROM (
+             SELECT e.vec_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
+                   c.b ASC) AS rn
+             FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+      def cupdate(asg: String, prev: String, un: String, cn: String) =
+        s"""$un AS (SELECT a.b, x.pos,
+               CAST(CAST(avg(x.val) AS REAL) AS DOUBLE) AS m
+             FROM $asg a JOIN x USING (vec_id) GROUP BY 1, 2),
+           $cn AS (SELECT c.b, CASE WHEN count(u.m) > 0
+               THEN list(u.m ORDER BY u.pos)
+               ELSE any_value(c.cent) END AS cent
+             FROM $prev c LEFT JOIN $un u ON c.b = u.b GROUP BY c.b)"""
+      def pencode(cb: String, name: String) =
+        s"""$name AS (SELECT vec_id, s, j AS code FROM (
+             SELECT sub.vec_id, sub.s, c.j,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_sum(list_transform(sub.subv, (a, i) ->
+                   (a - c.cent[i]) * (a - c.cent[i]))) ASC, c.j ASC) AS rn
+             FROM sub JOIN $cb c ON c.s = sub.s) WHERE rn = 1)"""
+      def pupdate(asg: String, prev: String, un: String, cn: String) =
+        s"""$un AS (SELECT a.s, a.code, sx.pos,
+               avg(sx.val) AS m
+             FROM $asg a
+             JOIN (SELECT vec_id, s, unnest(subv) AS val,
+                     generate_subscripts(subv, 1) AS pos FROM sub) sx
+               ON sx.vec_id = a.vec_id AND sx.s = a.s
+             GROUP BY 1, 2, 3),
+           $cn AS (SELECT c.s, c.j, CASE WHEN count(u.m) > 0
+               THEN list(u.m ORDER BY u.pos)
+               ELSE any_value(c.cent) END AS cent
+             FROM $prev c LEFT JOIN $un u ON u.s = c.s AND u.code = c.j
+             GROUP BY c.s, c.j)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos FROM e),
+         c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS b, v AS cent
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         ${cassign("c0", "a1")},
+         ${cupdate("a1", "c0", "u1", "c1")},
+         ${cassign("c1", "a2")},
+         ${cupdate("a2", "c1", "u2", "c2")},
+         ${cassign("c2", "a3")},
+         ${cupdate("a3", "c2", "u3", "c3")},
+         ${cassign("c3", "af")},
+         sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS subv
+                 FROM e, range(8) t(s)),
+         cb0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j,
+                   subv AS cent
+                 FROM sub WHERE vec_id IN
+                   (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         ${pencode("cb0", "e1")},
+         ${pupdate("e1", "cb0", "pu1", "cb1")},
+         ${pencode("cb1", "e2")},
+         ${pupdate("e2", "cb1", "pu2", "cb2")},
+         ${pencode("cb2", "e3")},
+         ${pupdate("e3", "cb2", "pu3", "cb3")},
+         ${pencode("cb3", "ef")},
+         nrm AS (SELECT s, j, list_sum(list_transform(cent, x -> x * x)) AS w
+                 FROM cb3),
+         q AS (SELECT vec_id AS q_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+               FROM e WHERE vec_id < 10),
+         pr AS (SELECT q_id, b AS bucket FROM (
+             SELECT q.q_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.v, c.cent) DESC,
+                   c.b ASC) AS rn
+             FROM q CROSS JOIN c3 c) WHERE rn <= 6),
+         dots AS (SELECT q.q_id, c.s, c.j,
+                 list_sum(list_transform(c.cent, (x, i) ->
+                   x * q.v[c.s * 8 + i])) AS d
+               FROM q CROSS JOIN cb3 c),
+         adc AS (
+           SELECT q.q_id, f.vec_id AS n_id,
+             sum(d.d) / (any_value(q.qn) * sqrt(sum(n.w))) AS adc
+           FROM q
+           JOIN af a ON a.vec_id <> q.q_id
+             AND a.b IN (SELECT bucket FROM pr p WHERE p.q_id = q.q_id)
+           JOIN ef f ON f.vec_id = a.vec_id
+           JOIN dots d ON d.q_id = q.q_id AND d.s = f.s AND d.j = f.code
+           JOIN nrm n ON n.s = f.s AND n.j = f.code
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc DESC, n_id ASC) AS rn FROM adc)
+           WHERE rn <= 20),
+         scored AS (
+           SELECT s.q_id, s.n_id,
+             list_cosine_similarity(q.v, n.v) AS cosine
+           FROM short s
+           JOIN e q ON q.vec_id = s.q_id
+           JOIN e n ON n.vec_id = s.n_id)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
+         WHERE rn <= 5"""
+    },
+
     // identical funnel to dedup_incremental: the streaming run must
     // reproduce the one-shot batch incremental join exactly
     "stream_dedup_near" ->
@@ -1753,6 +2051,34 @@ object PipelineEntries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.45""",
+
+    // banded sign-LSH near-dup restated: plane (band*4 + p) component =
+    // portable md5-56 of "plane_dim" in [-1, 1); band bucket = 4 sign
+    // bits; candidates share some (band, bucket); exact cosine >= 0.45
+    "dedup_embedding_lsh" ->
+      """WITH bits AS (
+           SELECT vec_id, CAST(pl // 4 AS BIGINT) AS band,
+             CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+                 CAST(v AS DOUBLE) *
+                   (('0x' || substr(md5(CAST(pl AS VARCHAR) || '_' ||
+                     CAST(i - 1 AS VARCHAR)), 1, 14))::BIGINT
+                    / 36028797018963968.0 - 1.0))) >= 0
+               THEN (1::BIGINT << CAST(pl % 4 AS INT)) ELSE 0::BIGINT END AS bit
+           FROM embeddings, range(64) t(pl)),
+         bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
+                FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)
+         SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(x.embedding::DOUBLE[],
+             y.embedding::DOUBLE[]), 4) AS cosine
+         FROM cand c
+         JOIN embeddings x ON x.vec_id = c.a_id
+         JOIN embeddings y ON y.vec_id = c.b_id
+         WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+           y.embedding::DOUBLE[]) >= 0.45""",
 
     "ann_brute_topk" ->
       """SELECT q_id, rank, n_id, round(cosine, 4) AS cosine FROM (
@@ -1900,8 +2226,7 @@ object PipelineEntries {
          FROM sess
          WHERE session_id < (SELECT max(session_id) FROM sess s2
                              WHERE s2.user_id = sess.user_id)"""
-    // ann_lsh_topk, ann_ivf_topk: rows-only — output depends on seeded
-    // random hyperplanes / trained centroids, which SQL cannot restate
-    // faithfully; ScalaTest pins their recall against brute-force truth
+    // every ANN entry is oracled (portable hyperplanes / unrolled Lloyd);
+    // ext_approx_distinct stays rows-only by nature (HLL estimate)
   )
 }

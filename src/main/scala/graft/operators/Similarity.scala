@@ -59,9 +59,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 -> uniform in [-1, 1). Seeded, executor-independent. */
+    * portable md5-56 hash of "plane_dim" ([[Dedup.portableHash56]])
+    * mapped to [-1, 1). Executor-independent AND engine-portable: any
+    * md5-capable engine reproduces the identical hyperplanes, so the
+    * DuckDB oracle can restate the full bucket + multi-probe + re-rank
+    * contract (the same reproducibility argument as dedup_prefix /
+    * dedup_simhash). 2^56 values / 2^55 - 1 covers [-1, 1). */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+    (Dedup.portableHash56(concat_ws("_", lit(plane), dim)).cast(DoubleType) /
+      lit(36028797018963968.0)) - lit(1.0)
 
   /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes. */
   def lshBucket(vec: Column, numPlanes: Int = 8): Column =
@@ -72,6 +78,52 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** Banded sign-LSH near-dup pairs over an embedding column — the
+    * scale path for [[Dedup.embeddingCosinePairs]]' all-pairs baseline:
+    * `bands` bands of `planesPerBand` portable hyperplane sign bits
+    * each; a pair is a candidate iff ALL bits of some band agree (one
+    * shuffle keyed by (band, bucket), the MinHash-banding shape), then
+    * the exact cosine verifies >= threshold, so false positives never
+    * survive. The banding table carries (id, band, bucket) only — the
+    * vectors join back by id for verification, never riding the
+    * explode. Hyperplanes are portable md5-56 ([[planeComponent]]), so
+    * the DuckDB oracle replays the identical candidate contract.
+    *
+    * Tuning honesty: sign-LSH pruning strengthens with the threshold
+    * (at cos >= 0.9, 8-bit bands reject >95% of random pairs); at a low
+    * threshold like 0.45 on isotropic vectors the prune is mild and
+    * recall at the boundary is ~1-(1-(1-acos(t)/pi)^p)^b (~0.96 for
+    * 16x4). Both knobs are part of the stated contract. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bands: Int = 16,
+                     planesPerBand: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandBuckets = array((0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val plane = b * planesPerBand + p
+        val dotp = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => x.cast(DoubleType) * planeComponent(plane, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce[Column]((a, c) => a.bitwiseOR(c))
+    }: _*)
+    val banded = v.select(col("id"), posexplode(bandBuckets))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(v.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cosine", cosine(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+  }
 
   // ------------------------------------------------------------ IVF ANN
 

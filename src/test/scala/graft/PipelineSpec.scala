@@ -56,6 +56,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall: $recall")
   }
 
+  test("banded embedding LSH: exact-verified subset of the all-pairs baseline, high recall") {
+    val exact = Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding",
+        threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(embeddings, "vec_id", "embedding",
+        threshold = 0.45, bands = 16, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosine verification makes every reported pair a true pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // 16 bands x 4 planes at the 0.45 boundary: expected recall ~0.96
+    assert(exact.isEmpty || lsh.size >= (exact.size * 0.7).toInt,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("asof join: inclusive backward semantics, nulls before first match") {
     import SparkSpecBase.implicits._
     import graft.operators.AsofJoin
