@@ -68,21 +68,75 @@ object Dedup {
     * occurring in more than one distinct document. Catches duplicated
     * spans >= w tokens at arbitrary alignment — the suffix-array
     * semantics the paper implements centrally, restated as a
-    * distributed explode -> groupBy: one 16-byte md5 per corpus token
-    * position, aggregated by fingerprint (map-side-combinable counts;
-    * the shuffle carries digests, never text). Output: fp, keep_doc
-    * (min id), occurrences, n_docs. */
+    * distributed explode -> groupBy. Output: fp (md5, the
+    * engine-portable fingerprint the oracle recomputes), keep_doc
+    * (min id), occurrences, n_docs.
+    *
+    * The naive formulation (build + md5 the w-token string at every
+    * position) is O(corpus tokens x w) STRING work inside an
+    * interpreted HOF — measured ~1.3 s at sf0.1 with the enumeration,
+    * not the crypto hash, as the dominant cost. This implementation
+    * makes the enumeration O(corpus tokens) of codegen'd long math:
+    *  1. hash each token once, posexplode to (doc_id, pos, h) long
+    *     rows, and compute each position's window key from a sliding
+    *     SUM window function plus the first/last token hashes (order
+    *     sensitivity) — whole-stage-codegen'd, no strings anywhere;
+    *  2. groupBy(key) keeps keys seen in >1 doc (min != max);
+    *  3. only SURVIVING positions (tiny, by the rare-dup contract) join
+    *     back to the token arrays to build the window string and its
+    *     portable md5 output fingerprint.
+    * A key collision can only ADD a candidate (the final md5 groupBy +
+    * n_docs filter discards it); equal windows always collide, so the
+    * output is identical to the naive formulation — which is exactly
+    * what the DuckDB oracle states. */
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.Staging.bound
     val toks = df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("t"))
       .filter(size(col("t")) >= w)
-    toks.select(col("doc_id"),
-        explode(bound(col("t"))(t =>
-          transform(sequence(lit(1), size(t) - lit(w - 1)),
-            i => md5(to_binary(concat_ws(" ", slice(t, i, lit(w))),
-              lit("utf-8")))))).as("fp"))
+    // (doc_id, pos, h): one O(1) row per corpus token, h < 2^31 so all
+    // window arithmetic below stays inside ANSI long bounds
+    val ex = toks.select(col("doc_id"),
+        posexplode(bound(col("t"))(t =>
+          transform(t, x => pmod(xxhash64(x), lit(MersenneP))))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wSum = wOrd.rowsBetween(Window.currentRow, w - 1)
+    // key = (sum of the w hashes) * A + first * B + last: sum < 2^35,
+    // * A < 2^56 — order-sensitive enough that false collisions are
+    // rare, and false collisions are verified away anyway
+    // consumed by BOTH the hot-key aggregate and the survivor join —
+    // localCheckpoint materializes the (3 longs)-per-token rows once
+    // (executor-local blocks, freed on GC) instead of re-running the
+    // tokenize + explode + window twice
+    val keyed = ex
+      .withColumn("ws", sum(col("h")).over(wSum))
+      .withColumn("le", lead(col("h"), w - 1).over(wOrd))
+      .filter(col("le").isNotNull) // incomplete trailing windows
+      .select(col("doc_id"), col("pos"),
+        (col("ws") * lit(1000003L) + col("h") * lit(131L) + col("le"))
+          .as("k"))
+      .localCheckpoint(false)
+    val hot = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("k"))
+    val surv = keyed.join(hot, Seq("k")).select(col("doc_id"), col("pos"))
+    // positions grouped per doc so the final pass re-tokenizes ONLY the
+    // surviving documents (the corpus-wide branch above never builds a
+    // string); the token array rides the tiny per-survivor explode only
+    val survPos = surv.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(survPos, Seq("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__text"))).as("t"), col("ps"))
+      .select(col("doc_id"), col("t"), explode(col("ps")).as("pos"))
+      .select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))),
+          lit("utf-8"))).as("fp"))
       .groupBy(col("fp")).agg(
         min(col("doc_id")).as("keep_doc"),
         count(lit(1)).as("occurrences"),

@@ -210,11 +210,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
     assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
     // aggregation is two-phase: a map-side partial runs BEFORE the
-    // exchange, so the shuffle carries (fp, partial counts) — 16-byte
-    // digests — never token arrays or text
+    // exchange, so every shuffle carries longs (doc_id/pos window
+    // routing, rolling keys k) or 16-byte md5 digests (fp) plus partial
+    // counts — never token arrays or window text
     assert(plan.contains("partial_"), plan)
     val exch = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exch.nonEmpty && exch.forall(l => l.contains("fp")), exch.mkString("\n"))
+    assert(exch.nonEmpty &&
+      exch.forall(l => l.contains("fp") || l.contains("k#") ||
+        l.contains("doc_id")),
+      exch.mkString("\n"))
+    assert(!exch.exists(l => l.contains("win") || l.contains("text") ||
+      l.contains("t#")), exch.mkString("\n"))
   }
 
   test("curation funnel: id-set joins broadcast, anti-join included") {
