@@ -241,6 +241,56 @@ object SparkEntry {
          "order_by":[{"col":"minute","dir":"asc"}]}""",
       "sum(value)" -> "sum_value"),
 
+    // ---- the reference's 5 golden benchmark queries (inputs.py:7-47),
+    // ---- schema-mapped to the harness events table and run through the
+    // ---- prepared engine — the same DSL surface + routing path the
+    // ---- reference exercises with them. Mapping: type -> event_type
+    // ---- ('impression' -> 'view'), bid_price/total_price -> value,
+    // ---- publisher_id/advertiser_id -> user_id, country -> a user_id
+    // ---- band (the fixture has no second categorical; an eq becomes a
+    // ---- between, keeping the 3-conjunct filter shape), dates shifted
+    // ---- into the fixtures' 2024-01 range.
+
+    "golden_q1" -> dslPrepared(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"}],
+         "group_by":["day"]}""",
+      "sum(value)" -> "sum_value"),
+
+    "golden_q2" -> dslPrepared(
+      """{"select":["user_id",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"},
+                  {"col":"user_id","op":"between","val":[100,300]},
+                  {"col":"day","op":"between","val":["2024-01-10","2024-01-13"]}],
+         "group_by":["user_id"]}""",
+      "sum(value)" -> "sum_value"),
+
+    // country (low-cardinality) -> day, not user_id: the fixture's
+    // mostly-2dp values put a 1000-group AVG on a 4dp rounding boundary
+    // every few hundred groups (engines legitimately associate the sums
+    // differently), while ~30 day groups stay clear — same shape, and
+    // closer to country's cardinality anyway
+    "golden_q3" -> dslPrepared(
+      """{"select":["day",{"AVG":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"purchase"}],
+         "group_by":["day"],
+         "order_by":[{"col":"AVG(value)","dir":"desc"}]}""",
+      "avg(value)" -> "avg_value"),
+
+    "golden_q4" -> dslPrepared(
+      """{"select":["user_id","event_type",{"COUNT":"*"}],"from":"events",
+         "group_by":["user_id","event_type"],
+         "order_by":[{"col":"COUNT(*)","dir":"desc"}]}""",
+      "count(*)" -> "cnt"),
+
+    "golden_q5" -> dslPrepared(
+      """{"select":["minute",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"},
+                  {"col":"day","op":"eq","val":"2024-01-15"}],
+         "group_by":["minute"],
+         "order_by":[{"col":"minute","dir":"asc"}]}""",
+      "sum(value)" -> "sum_value"),
+
     // ---- S1/S2: CSV sources (SURVEY §2.1). Roundtrip events through CSV
     // ---- (microsecond-preserving format) and aggregate.
 
@@ -970,6 +1020,19 @@ object SparkEntry {
       s"SELECT $hourE AS hour, count(*) AS cnt FROM events GROUP BY 1",
     "derived_minute" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1 ORDER BY 1 ASC",
+    "golden_q1" ->
+      s"SELECT $dayE AS day, round(sum(value),4) AS sum_value FROM events WHERE event_type = 'view' GROUP BY 1",
+    "golden_q2" ->
+      s"""SELECT user_id, round(sum(value),4) AS sum_value FROM events
+          WHERE event_type = 'view' AND user_id BETWEEN 100 AND 300
+            AND $dayE BETWEEN DATE '2024-01-10' AND DATE '2024-01-13'
+          GROUP BY 1""",
+    "golden_q3" ->
+      s"SELECT $dayE AS day, round(avg(value),4) AS avg_value FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY avg(value) DESC",
+    "golden_q4" ->
+      "SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY cnt DESC",
+    "golden_q5" ->
+      s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE event_type = 'view' AND $dayE = DATE '2024-01-15' GROUP BY 1 ORDER BY 1 ASC",
     "s1_csv_strict" ->
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "s2_csv_permissive" ->
