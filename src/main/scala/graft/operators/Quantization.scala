@@ -129,12 +129,47 @@ object Quantization {
     }: _*)
   }
 
-  /** PQ-ADC approximate top-k with exact re-rank: per query, a driver-side
-    * lookup table T[s][c] = <q_sub, codebook[s][c]> turns scoring a corpus
-    * row into 2m array lookups (approx cosine = sum_s T[s][code_s] /
-    * (|q| * sqrt(sum_s |cb[s][code_s]|^2))); the `refine`*k ADC survivors
-    * are re-ranked with exact cosine on the float column. Queries are a
-    * small collected set (same contract as bruteForceTopK's broadcast). */
+  /** Per-query ADC lookup table T[s*k + c] = <q_sub_s, codebook[s][c]>,
+    * computed as a COLUMN on the query row (m*k*dsub multiplies once per
+    * QUERY, not per pair) — the classic ADC trick, relationally. The
+    * codebook rides the plan as a literal; index-order double folds keep
+    * the values bit-identical to a driver-side precompute. */
+  private def queryLut(qv: Column,
+                       codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m * kk - 1)), idx => {
+      val s = (idx / kk).cast(IntegerType)
+      val j = idx % kk
+      aggregate(
+        zip_with(element_at(element_at(cbLit, s + 1), j + 1),
+          slice(qv, s * dsub + 1, lit(dsub)),
+          (c, q) => c * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    })
+  }
+
+  /** ADC approximate-cosine column from a codes column and the per-query
+    * lookup arrays: sum_s lut[s*k + code_s] — 2m array lookups per pair. */
+  private def adcScore(codes: Column, qlut: Column, qNorm: Column,
+                       normLut: Column, m: Int, kk: Int): Column = {
+    def fold(lut: Column) =
+      aggregate(zip_with(codes, sequence(lit(0), lit(m - 1)),
+          (code, s) => element_at(lut, s * kk + code + 1)),
+        lit(0.0), (acc, v) => acc + v)
+    fold(qlut) / (qNorm * sqrt(fold(normLut)))
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank, as ONE plan for any
+    * number of queries: the query side (with its per-query ADC lookup
+    * table, [[queryLut]]) broadcasts against the coded corpus, the
+    * `refine`*k ADC survivors per query are re-ranked with exact cosine
+    * on the float columns. No driver-side query loop and no per-query
+    * plan branch — |queries| only widens the broadcast, so the operator
+    * scales past the handful-of-queries contract the earlier union-based
+    * formulation was bounded by. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
              refine: Int = 4): DataFrame = {
@@ -142,31 +177,20 @@ object Quantization {
     val kk = codebooks(0).length
     val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
       encodePq(col(vecCol), codebooks).as("codes"))
-    val normFlat = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
-    val qRows = queries.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val perQuery = qRows.map { case (qId, qv) =>
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      val dotFlat = codebooks.zipWithIndex.flatMap { case (cb, s) =>
-        val qs = qv.slice(s * cb(0).length, (s + 1) * cb(0).length)
-        cb.map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
-      }
-      val lookup = (flat: Array[Double]) =>
-        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, s) => element_at(typedlit(flat.toSeq), s * kk + code + 1)),
-          lit(0.0), (acc, v) => acc + v)
-      val scored = coded
-        .filter(col("n_id") =!= qId)
-        .withColumn("adc",
-          lookup(dotFlat) / (lit(qNorm) * sqrt(lookup(normFlat))))
-      Relational.topKPerGroup(
-          scored.withColumn("q_id", lit(qId)), Seq("q_id"),
-          Seq(("adc", true), ("n_id", false)), refine * k)
-        .withColumn("cosine", // native cosine requires float arrays
-          Similarity.cosine(typedlit(qv.map(_.toFloat).toSeq), col("n_v")))
-    }
-    val all = perQuery.reduce(_ unionByName _)
-    Relational.topKPerGroup(all, Seq("q_id"),
+    val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("qlut", queryLut(col("q_v"), codebooks))
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("q_v"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)))
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        adcScore(col("codes"), col("qlut"), col("qn"), normLut, m, kk))
+    val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
+        Seq(("adc", true), ("n_id", false)), refine * k)
+      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
+    Relational.topKPerGroup(shortlist, Seq("q_id"),
         Seq(("cosine", true), ("n_id", false)), k)
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
   }
@@ -186,40 +210,33 @@ object Quantization {
     val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
       .withColumn("bucket", Similarity.ivfAssign(col("n_v"), centroids))
       .withColumn("codes", encodePq(col("n_v"), codebooks))
-    val normFlat = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
-    val qRows = queries.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    def cosTo(qv: Array[Double], c: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < qv.length) {
-        val b = c(i).toDouble; dot += qv(i) * b; na += qv(i) * qv(i); nb += b * b; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+    val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
+    // probe list per query as an expression: sort struct(-cos, i)
+    // ascending = cosine desc with ties to the LOWEST centroid id
+    val probeArr = {
+      val scoredArr = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct((-Similarity.cosine(col("q_v"), typedlit(c))).as("ns"),
+          lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(scoredArr), 1, nprobe), p => p.getField("i"))
     }
-    val perQuery = qRows.map { case (qId, qv) =>
-      val probes = centroids.zipWithIndex
-        .map { case (c, i) => (cosTo(qv, c), i) }
-        .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      val dotFlat = codebooks.zipWithIndex.flatMap { case (cb, s) =>
-        val qs = qv.slice(s * cb(0).length, (s + 1) * cb(0).length)
-        cb.map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
-      }
-      val lookup = (flat: Array[Double]) =>
-        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, s) => element_at(typedlit(flat.toSeq), s * kk + code + 1)),
-          lit(0.0), (acc, v) => acc + v)
-      val scored = coded
-        .filter(col("bucket").isin(probes: _*) && col("n_id") =!= qId)
-        .withColumn("adc",
-          lookup(dotFlat) / (lit(qNorm) * sqrt(lookup(normFlat))))
-      Relational.topKPerGroup(
-          scored.withColumn("q_id", lit(qId)), Seq("q_id"),
-          Seq(("adc", true), ("n_id", false)), refine * k)
-        .withColumn("cosine",
-          Similarity.cosine(typedlit(qv.map(_.toFloat).toSeq), col("n_v")))
-    }
-    Relational.topKPerGroup(perQuery.reduce(_ unionByName _), Seq("q_id"),
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("qlut", queryLut(col("q_v"), codebooks))
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("q_v"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("q_id"), col("q_v"), col("qlut"), col("qn"),
+        explode(probeArr).as("bucket"))
+    // candidates = corpus rows in a probed bucket only; each vector has
+    // ONE bucket and probes are distinct, so no pair appears twice
+    val scored = coded.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        adcScore(col("codes"), col("qlut"), col("qn"), normLut, m, kk))
+    val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
+        Seq(("adc", true), ("n_id", false)), refine * k)
+      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
+    Relational.topKPerGroup(shortlist, Seq("q_id"),
         Seq(("cosine", true), ("n_id", false)), k)
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
   }
