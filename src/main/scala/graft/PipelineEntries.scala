@@ -72,6 +72,17 @@ object PipelineEntries {
       Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.5)
         .localCheckpoint(true))
 
+  /** Shingle document-frequency table (Dedup.shingleDocFreq over
+    * [[docSigs]]), persisted once per (session, corpus): the blocked
+    * jaccard's candidate filter and stop-shingle profile both read it —
+    * at cluster scale this |vocab| table is a written prepare artifact
+    * next to the signature table. */
+  private val dfcCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docShingleDf(s: SparkSession, dir: String): DataFrame =
+    dfcCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
+      Dedup.shingleDocFreq(docSigs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** IVF index (Lloyd-trained centroids + bucketed corpus), built once
     * per (session, corpus) — same prepare-once-query-many shape as
     * [[docSigs]]: index TRAINING is prepare-phase work; the per-query
@@ -377,7 +388,8 @@ object PipelineEntries {
     // LOW-df shingles, so the cap prunes only non-dup pair fanout)
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBlockedFromSigs(docSigs(s, dir),
-        threshold = 0.3, dfCap = 10)),
+        threshold = 0.3, dfCap = 10,
+        docFreq = Some(docShingleDf(s, dir)))),
 
     // exact sliding-window substring dup at arbitrary alignment —
     // catches cross-offset spans that dedup_chunks' aligned chunks miss

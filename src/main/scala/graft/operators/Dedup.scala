@@ -508,15 +508,26 @@ object Dedup {
     * cost at 1M+ candidates; ~2x faster at sf0.1) while producing the
     * identical pair set — the oracle states the same contract over full
     * string shingle sets. */
+  /** The |vocab| shingle document-frequency table over a [[signatures]]
+    * table — a prepare-once artifact: callers running the blocked
+    * operator more than once per corpus should build this once, persist
+    * or write it, and pass it to [[ngramJaccardPairsBlockedFromSigs]]. */
+  def shingleDocFreq(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(col("hs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+
   def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,
                                        threshold: Double = 0.3,
-                                       dfCap: Int = 50): DataFrame = {
+                                       dfCap: Int = 50,
+                                       docFreq: Option[DataFrame] = None): DataFrame = {
     val hs = sigs.select(col("id"), col("hs"))
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    // |vocab|-sized; persisted because BOTH the rare-candidate filter and
-    // the stop-shingle profile consume it — one corpus-scale aggregation
-    // pass instead of two (lazy, so the operator stays a plain DataFrame)
-    val dfc = pooledPersist(inv.groupBy(col("g")).agg(count(lit(1)).as("c")))
+    // |vocab|-sized; BOTH the rare-candidate filter and the stop-shingle
+    // profile consume it — one corpus-scale aggregation pass instead of
+    // two. Either supplied by the caller as a prepare-once artifact
+    // ([[shingleDocFreq]]) or persisted here per invocation (pooled,
+    // reclaimed by [[releaseIntermediates]]).
+    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(sigs)))
     val invR = inv.join(dfc.filter(col("c").between(2, dfCap))
       .select(col("g")), Seq("g"))
     val pairs = invR.select(col("g"), col("id").as("a_id"))
