@@ -278,6 +278,78 @@ object PipelineEntries {
     "text_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", 100)),
 
+    // bigram-LM quality score (the KenLM-style step up from the unigram
+    // entry): per-doc mean negative log of p(w2|w1) = c(w1 w2)/c(w1),
+    // context counts over every non-final token. The bigram vocabulary
+    // is far larger than the unigram one, so the logprob table joins by
+    // SHUFFLE on the pair key (never broadcast); terms are quantized to
+    // 1e-6 integers before the per-doc sum (order-free, cross-engine
+    // exact). Docs with <2 tokens have no bigrams and drop out.
+    "text_bigram_logprob" -> ((s, dir) => {
+      import graft.functions.Staging.bound
+      val toks = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("doc_id"),
+        explode(bound(col("t"))(t =>
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))).as("pair"))
+      val ctx = toks.select(explode(bound(col("t"))(t =>
+          slice(t, lit(1), size(t) - 1))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bi = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      val lp = bi.join(ctx, substring_index(col("pair"), " ", 1) === col("w1"))
+        .select(col("pair"),
+          round(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
+            * lit(1000000.0), 0).cast(LongType).as("q"))
+      pairs.join(lp, "pair")
+        .groupBy(col("doc_id"))
+        .agg(round(-sum(col("q")).cast(DoubleType) /
+            (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4).as("nll2"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
+    // two unrolled BPE merge rounds — the tokenizer-TRAINER loop as
+    // relational passes: each round finds the corpus-wide top adjacent
+    // pair (total order: count desc, pair asc; a 1-row driver scalar,
+    // like graph_pagerank's node count) and merges every left-to-right
+    // non-overlapping occurrence corpus-wide via plain string replace
+    // over a double-spaced canonical form (each gap widens to two
+    // spaces, so one match's consumed boundary never starves an
+    // adjacent match; the \s+ tokenizer re-normalizes). Output: top-20
+    // vocabulary after 2 merges. The oracle replays both rounds with
+    // scalar subqueries.
+    "text_bpe_merge2" -> ((s, dir) => {
+      import graft.functions.Staging.bound
+      def pairsOf(d: DataFrame): DataFrame =
+        d.filter(size(col("t")) >= 2)
+          .select(explode(bound(col("t"))(t =>
+            zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+              (a, b) => concat(a, lit(" "), b)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      def topPair(d: DataFrame): String =
+        pairsOf(d).orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()(0).getString(0)
+      def merged(d: DataFrame, pair: String): DataFrame = {
+        val Array(w1, w2) = pair.split(" ", 2)
+        d.select(
+          call_function("replace",
+            call_function("replace",
+              concat(lit(" "), concat_ws(" ", col("t")), lit(" ")),
+              lit(" "), lit("  ")),
+            lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")).as("__m"))
+          .select(TextAnalysis.tokens(col("__m")).as("t"))
+      }
+      val t0 = docs(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("t"))
+      val t1 = merged(t0, topPair(t0))
+      val t2 = merged(t1, topPair(t1))
+      t2.select(explode(col("t")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // CCNet-style unigram LM quality score: corpus unigram probabilities
     // -> per-doc mean negative log-likelihood (low = fluent under the
     // corpus distribution, high = outlier). One shuffle to count terms;
@@ -686,6 +758,38 @@ object PipelineEntries {
         .filter(pmod(Dedup.portableHash56(col("doc_id")), lit(1000000L))
           .cast(DoubleType) / lit(1000000.0) < col("rate"))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // per-source p95 length gate: the adaptive outlier filter (each
+    // source gets its own threshold — a fixed global cap over-trims
+    // terse sources and under-trims verbose ones). DISCRETE quantile,
+    // integer arithmetic only (idx = ceil(95n/100); p95 = smallest
+    // value whose cumulative count reaches idx), so both engines pick
+    // the identical threshold with no float boundary at all. The
+    // corpus-scale work is ONE groupBy to (source, n_tokens) counts;
+    // the cumulative window runs over that tiny aggregated table —
+    // never a per-source sort of the docs themselves (the same
+    // one-reducer trap the packing rewrite removed).
+    "ext_length_p95_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      val cnts = d.groupBy(col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnts
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+        // (95n + 99) / 100 stays exact in double up to 2^45 docs/source,
+        // and the cast truncates to the integer ceil(95n/100)
+        .withColumn("idx", ((col("n") * 95 + 99) / 100).cast(LongType))
+      val thresh = cum
+        .filter(col("cum") >= col("idx") && col("cum") - col("c") < col("idx"))
+        .select(col("source"), col("n_tokens").as("p95"))
+      d.join(broadcast(thresh), "source")
+        .filter(col("n_tokens") <= col("p95"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
     // stratified cap: at most 50 docs per language (deterministic by
@@ -1200,6 +1304,83 @@ object PipelineEntries {
       s"""SELECT g AS token, count(*) AS freq FROM (
             SELECT unnest($toksLowerE) AS g FROM documents)
           GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 100""",
+
+    // bigram LM restated: context counts over non-final tokens, pair
+    // counts, logp quantized to 1e-6 ints before the per-doc sum
+    "text_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksLowerE AS t FROM documents),
+          pairs AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS pair
+            FROM t WHERE len(t) >= 2),
+          ctx AS (
+            SELECT w1, count(*) AS c1 FROM (
+              SELECT unnest(t[1:len(t) - 1]) AS w1 FROM t WHERE len(t) >= 2)
+            GROUP BY 1),
+          bi AS (SELECT pair, count(*) AS c12 FROM pairs GROUP BY 1),
+          lp AS (
+            SELECT pair, CAST(round(ln(CAST(c12 AS DOUBLE)
+              / CAST(c1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS q
+            FROM bi JOIN ctx ON split_part(bi.pair, ' ', 1) = ctx.w1)
+          SELECT p.doc_id,
+            round(-CAST(sum(l.q) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS nll2,
+            CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM pairs p JOIN lp l USING (pair)
+          GROUP BY 1""",
+
+    // two BPE merge rounds restated: top pair by (count desc, pair asc)
+    // as a scalar subquery per round; the merge is the same plain
+    // replace over the double-spaced canonical form
+    "text_bpe_merge2" -> {
+      def pairsOf(src: String, name: String) =
+        s"""$name AS (
+             SELECT pair, count(*) AS cnt FROM (
+               SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS pair
+               FROM $src WHERE len(t) >= 2)
+             GROUP BY 1)"""
+      def topOf(p: String, name: String) =
+        s"""$name AS (SELECT pair FROM $p ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+      def mergeOf(src: String, top: String, name: String) =
+        s"""$name AS (
+             SELECT list_filter(regexp_split_to_array(
+               replace(
+                 replace(' ' || array_to_string(t, ' ') || ' ', ' ', '  '),
+                 ' ' || replace((SELECT pair FROM $top), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM $top), ' ', '_') || ' '),
+               '\\s+'), x -> x <> '') AS t
+             FROM $src)"""
+      s"""WITH t0 AS (SELECT $toksLowerE AS t FROM documents),
+          ${pairsOf("t0", "p1")},
+          ${topOf("p1", "m1")},
+          ${mergeOf("t0", "m1", "t1")},
+          ${pairsOf("t1", "p2")},
+          ${topOf("p2", "m2")},
+          ${mergeOf("t1", "m2", "t2")}
+          SELECT token, count(*) AS freq FROM (
+            SELECT unnest(t) AS token FROM t2)
+          GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20"""
+    },
+
+    // per-source discrete p95 restated with the identical integer
+    // index arithmetic
+    "ext_length_p95_filter" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            CAST(len($toksE) AS BIGINT) AS n_tokens FROM documents),
+          cnts AS (SELECT source, n_tokens, count(*) AS c
+                   FROM d GROUP BY 1, 2),
+          cum AS (SELECT source, n_tokens, c,
+              sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY source) AS n
+            FROM cnts),
+          thresh AS (SELECT source, n_tokens AS p95 FROM cum
+            WHERE cum >= (95 * n + 99) // 100
+              AND cum - c < (95 * n + 99) // 100)
+          SELECT d.doc_id, d.source, d.n_tokens
+          FROM d JOIN thresh USING (source)
+          WHERE d.n_tokens <= thresh.p95""",
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -273,6 +273,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("banded embedding LSH never plans a cartesian product") {
+    // the whole point of the scale path vs dedup_embedding_cosine: the
+    // candidate join is keyed on (band, bucket) — a hash join — while
+    // the baseline is an explicit crossJoin
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sfDir)
+    df.collect()
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // the candidate join is KEYED on (band, bucket) — a hash join (AQE
+    // may broadcast one side at tiny scale; keyed either way)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("bucket")), plan)
+  }
+
+  test("PQ-ADC is one plan: no per-query union branches") {
+    // pqTopK/ivfPqTopK must scale in |queries| via the broadcast query
+    // side, not by unioning one plan branch per query
+    for (name <- Seq("ann_pq_topk", "ann_ivfpq_topk")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = finalPlan(df)
+      assert(!plan.contains("Union"), s"$name plans a per-query Union:\n$plan")
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+        s"$name: query side not broadcast:\n$plan")
+    }
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
