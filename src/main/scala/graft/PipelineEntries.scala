@@ -488,6 +488,17 @@ object PipelineEntries {
       Similarity.lshCosinePairs(embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45, bands = 16, planesPerBand = 4)),
 
+    // SEMANTIC dedup end to end: connected components over the banded
+    // embedding-LSH pair table — keep one representative per cluster of
+    // mutually-similar embeddings (the SemDeDup shape: candidate
+    // buckets -> verified pairs -> cluster resolution), composing the
+    // two operators above; the oracle restates the same banded contract
+    // plus a recursive-CTE closure
+    "dedup_embedding_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Similarity.lshCosinePairs(embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, bands = 16, planesPerBand = 4))),
+
     // duplicate-cluster resolution over exact near-dup pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(jaccardPairs05(s, dir))),
@@ -2272,6 +2283,39 @@ object PipelineEntries {
          JOIN embeddings y ON y.vec_id = c.b_id
          WHERE list_cosine_similarity(x.embedding::DOUBLE[],
            y.embedding::DOUBLE[]) >= 0.45""",
+
+    // the embedding-LSH banded contract + recursive closure, exactly
+    // like dedup_clusters' oracle over the text pair table
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE bits AS (
+           SELECT vec_id, CAST(pl // 4 AS BIGINT) AS band,
+             CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+                 CAST(v AS DOUBLE) *
+                   (('0x' || substr(md5(CAST(pl AS VARCHAR) || '_' ||
+                     CAST(i - 1 AS VARCHAR)), 1, 14))::BIGINT
+                    / 36028797018963968.0 - 1.0))) >= 0
+               THEN (1::BIGINT << CAST(pl % 4 AS INT)) ELSE 0::BIGINT END AS bit
+           FROM embeddings, range(64) t(pl)),
+         bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
+                FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+         pairs AS (
+           SELECT c.a_id, c.b_id
+           FROM cand c
+           JOIN embeddings x ON x.vec_id = c.a_id
+           JOIN embeddings y ON y.vec_id = c.b_id
+           WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+             y.embedding::DOUBLE[]) >= 0.45),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""",
 
     "ann_brute_topk" ->
       """SELECT q_id, rank, n_id, round(cosine, 4) AS cosine FROM (

@@ -42,4 +42,44 @@ class CurationInvariantSpec extends SparkSpec {
     // -ln p >= 0 and p >= 1/total -> nll <= ln(total); total < 1e6 here
     assert(mx.getDouble(0) <= math.log(1e6))
   }
+
+  test("bigram NLL is non-negative and <= every doc's unigram-style bound") {
+    val lp2 = SparkEntry.queries("text_bigram_logprob")(spark, sfDir)
+    val mn = lp2.agg(min(col("nll2"))).head().getDouble(0)
+    // p(w2|w1) = c12/c1 <= 1 -> every term >= 0
+    assert(mn >= 0.0, s"negative bigram NLL: $mn")
+    // conditioning can never make a pair MORE probable than 1/contexts
+    val mx = lp2.agg(max(col("nll2"))).head().getDouble(0)
+    assert(mx <= math.log(1e6))
+  }
+
+  test("p95 length gate keeps >= 95% of each source and drops only the longest") {
+    val d = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
+    val total = d.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("ext_length_p95_filter")(spark, sfDir)
+    val keptPerSrc = kept.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (src, n) =>
+      val k = keptPerSrc.getOrElse(src, 0L)
+      // discrete p95: the threshold row's cumulative count >= ceil(.95n)
+      assert(k >= (95 * n + 99) / 100,
+        s"$src kept $k of $n (< ceil(95%))")
+      assert(k <= n)
+    }
+    // every dropped doc is strictly longer than every kept doc's length
+    // within its source (threshold semantics)
+    val maxKept = kept.groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dropped = d.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .collect()
+    dropped.foreach { r =>
+      assert(r.getLong(2) > maxKept(r.getString(1)),
+        s"dropped doc ${r.getLong(0)} not longer than kept max")
+    }
+  }
 }
