@@ -657,6 +657,24 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // incremental IVF index maintenance: a new-vector increment (the
+    // pmod slice, mirroring dedup_incremental's crawl-increment shape)
+    // is assigned to the EXISTING centroids — no retraining, no base
+    // re-scan; at scale this is the nightly index append (assignments
+    // append to the bucketed layout, centroids drift-checked offline).
+    // Training on the base slice is deterministic, so the oracle
+    // unrolls it and replays the assignment.
+    "ann_ivf_increment" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(10)) >= 2)
+      val increment = e.filter(pmod(col("vec_id"), lit(10)) < 2)
+      val cent = Similarity.ivfTrain(base, "vec_id", "embedding",
+        nlist = 16, iters = 3)
+      Similarity.ivfBucketedCorpus(increment, "vec_id", "embedding", cent)
+        .select(col("n_id").as("vec_id"),
+          col("bucket").cast(LongType).as("bucket"))
+    }),
+
     // PQ-ADC with exact re-rank; the deterministic Lloyd codebook
     // training is unrolled in the oracle. Recall also pinned by tests.
     "ann_pq_topk" -> ((s, dir) => {
@@ -2219,6 +2237,43 @@ object PipelineEntries {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
              ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
          WHERE rn <= 5"""
+    },
+
+    // IVF training unrolled over the BASE slice only, then the
+    // increment assigned to the final centroids (ties -> lowest bucket,
+    // like every ivfAssign)
+    "ann_ivf_increment" -> {
+      def assign(cents: String, name: String, src: String = "e") =
+        s"""$name AS (SELECT vec_id, b FROM (
+             SELECT e.vec_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
+                   c.b ASC) AS rn
+             FROM $src e CROSS JOIN $cents c) WHERE rn = 1)"""
+      def update(asg: String, prev: String, un: String, cn: String) =
+        s"""$un AS (SELECT a.b, x.pos,
+               CAST(CAST(avg(x.val) AS REAL) AS DOUBLE) AS m
+             FROM $asg a JOIN x USING (vec_id) GROUP BY 1, 2),
+           $cn AS (SELECT c.b, CASE WHEN count(u.m) > 0
+               THEN list(u.m ORDER BY u.pos)
+               ELSE any_value(c.cent) END AS cent
+             FROM $prev c LEFT JOIN $un u ON c.b = u.b GROUP BY c.b)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 10 >= 2),
+         inc AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 10 < 2),
+         x AS (SELECT vec_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos FROM e),
+         c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS b, v AS cent
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         ${assign("c0", "a1")},
+         ${update("a1", "c0", "u1", "c1")},
+         ${assign("c1", "a2")},
+         ${update("a2", "c1", "u2", "c2")},
+         ${assign("c2", "a3")},
+         ${update("a3", "c2", "u3", "c3")},
+         ${assign("c3", "af", "inc")}
+         SELECT vec_id, CAST(b AS BIGINT) AS bucket FROM af"""
     },
 
     // identical funnel to dedup_incremental: the streaming run must
