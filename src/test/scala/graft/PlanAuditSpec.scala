@@ -103,6 +103,32 @@ class PlanAuditSpec extends SparkSpec {
       plan)
   }
 
+  test("golden queries route the way the reference's benchmark suite expects") {
+    // the 5 reference benchmark queries (inputs.py:7-47, schema-mapped):
+    // routable shapes hit a rollup, the user_id-band query (whose day
+    // filter is not on the user rollup's keys) must fall back to a scan
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    def routeOf(json: String): String = { eng.executeJson(json).collect(); eng.lastRoute.toString }
+    val routed = Seq(
+      // golden_q1: eq on a rollup key, day grouping
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"}],
+         "group_by":["day"]}""",
+      // golden_q4: (user_id, event_type) grouping
+      """{"select":["user_id","event_type",{"COUNT":"*"}],"from":"events",
+         "group_by":["user_id","event_type"]}""")
+    routed.foreach { q =>
+      assert(routeOf(q).contains("Routed"), s"expected Routed for $q")
+    }
+    // golden_q2's day-between filter is not on the user rollup's keys
+    val scanned = """{"select":["user_id",{"SUM":"value"}],"from":"events",
+       "where":[{"col":"event_type","op":"eq","val":"view"},
+                {"col":"user_id","op":"between","val":[100,300]},
+                {"col":"day","op":"between","val":["2024-01-10","2024-01-13"]}],
+       "group_by":["user_id"]}"""
+    assert(routeOf(scanned) == "Scanned", s"expected Scanned, got ${routeOf(scanned)}")
+  }
+
   test("bucketed join plans with zero exchange on the join inputs") {
     val wh = "/root/repo/target/warehouse/spec"
     graft.prepare.Bucketing.writeBucketed(spark,
