@@ -7,21 +7,37 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol: build the prepared layout first (prepare phase, reported
   * separately as "prepare_sec" — the reference also excludes prepare from
-  * query timings), then run every headline query twice; the reported
-  * per-query number is the warm second pass (the reference's published
-  * numbers are warm-cache too, BASELINE.md), with the cold first pass
-  * recorded under "cold_sec".
+  * query timings), then measure each headline query cold (first timed
+  * pass) and warm (THREE further passes; the reported per-query number is
+  * the per-query MINIMUM of the warm passes — the reference's published
+  * numbers are warm-cache too, BASELINE.md).
   *
-  * Measurement hygiene (round-6 lesson): the relational group is
-  * measured COMPLETELY — cold then warm — before any pipeline query
-  * runs, because the pipeline group persists shared intermediates
-  * (signature/pair-count tables, the IVF index) whose resident blocks
-  * put the join-heavy queries under memory/GC pressure they would never
-  * see in isolation; interleaving the groups made four join queries
-  * read 2-3x slower warm than cold in BENCH_r06. Operator-internal
-  * persists are additionally dropped (Dedup.releaseIntermediates)
-  * between pipeline passes so repeated invocations measure the
-  * operator, not the accumulation. */
+  * Noise robustness (round-7 lesson): BENCH_r07's official artifact was
+  * corrupted by a concurrent process on the driver box — a single timed
+  * pass per phase meant one CPU-starved window inflated the round's
+  * numbers 8x with no way to tell contention from regression. Three warm
+  * passes with a per-query min make a transient stall invisible unless it
+  * covers ALL passes, and the emitted "contended" flag self-diagnoses the
+  * residue: it trips when any query's best warm time exceeds 1.5x its
+  * cold time (no plan property can produce that — warm re-runs reuse JIT,
+  * shuffle files and page cache) or when a query's warm passes disagree
+  * by more than 3x among themselves. All three warm passes are emitted
+  * ("warm_passes") so a flagged run can be audited after the fact.
+  *
+  * Measurement hygiene (round-6 lesson): the relational group is warmed
+  * and measured COMPLETELY before any pipeline query runs, because the
+  * pipeline group persists shared intermediates (signature/pair-count
+  * tables, the IVF index) whose resident blocks put the join-heavy
+  * queries under memory/GC pressure they would never see in isolation.
+  * The untimed JIT warmup is therefore per-GROUP (relational queries
+  * warm the relational group; pipeline queries the pipeline group), so
+  * the relational cold pass really does run cache-clean — no pipeline
+  * table exists yet when it is timed. "cold_sec" is thus cold CACHES but
+  * warm JIT (the warmup pass already compiled the code paths); it
+  * measures plan cost on first data contact, not JVM compilation.
+  * Operator-internal persists are dropped (Dedup.releaseIntermediates)
+  * between pipeline passes so repeated invocations measure the operator,
+  * not the accumulation. */
 object Bench {
 
   /** Relational / routing / join / window headline set — measured first,
@@ -47,6 +63,9 @@ object Bench {
 
   val headline: Seq[String] = relational ++ pipeline
 
+  /** Warm timed passes per query; the reported number is the minimum. */
+  val WarmPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,34 +85,62 @@ object Bench {
       (System.nanoTime() - start) / 1e9
     }
 
-    // untimed JIT warmup: one pass over every headline query so the
-    // timed passes measure PLAN cost, not JVM compilation — without it
-    // the first timed group pays a ~1.5-2x whole-stage-codegen/JIT tax
-    // that varies with measurement order and masks plan regressions.
-    // This pass also builds the shared prepare-once pipeline tables
-    // (signatures, pair counts, IVF index), which the engine's contract
-    // treats as prepare-phase artifacts anyway.
-    headline.foreach(timeOne)
-    graft.operators.Dedup.releaseIntermediates()
+    /** Measure one group: untimed JIT-warmup pass, one timed cold pass,
+      * then [[WarmPasses]] timed warm passes (pass-wise, so the passes
+      * alternate through the whole group like real workloads do).
+      * `release` runs between pipeline passes to drop operator-internal
+      * pooled persists — shared prepare-once tables survive by design. */
+    def measure(group: Seq[String], release: () => Unit)
+        : (Seq[(String, Double)], Map[String, Seq[Double]]) = {
+      group.foreach(timeOne) // untimed JIT warmup for this group only
+      release()
+      val cold = group.map(n => n -> timeOne(n))
+      val warm = (1 to WarmPasses).map { _ =>
+        release(); group.map(n => n -> timeOne(n)).toMap
+      }
+      (cold, group.map(n => n -> warm.map(_(n))).toMap)
+    }
 
-    val relCold = relational.map(n => n -> timeOne(n))
-    val relWarm = relational.map(n => n -> timeOne(n))
-    val pipeCold = pipeline.map(n => n -> timeOne(n))
-    graft.operators.Dedup.releaseIntermediates()
-    val pipeWarm = pipeline.map(n => n -> timeOne(n))
-    graft.operators.Dedup.releaseIntermediates()
+    val noop = () => ()
+    val rel = measure(relational, noop)
+    val pipe = measure(pipeline,
+      () => graft.operators.Dedup.releaseIntermediates())
 
-    val cold = relCold ++ pipeCold
-    val warm = relWarm ++ pipeWarm
+    val cold = rel._1 ++ pipe._1
+    val warmAll: Map[String, Seq[Double]] = rel._2 ++ pipe._2
+    val warmBest = headline.map(n =>
+      n -> warmAll(n).filter(_ >= 0).minOption.getOrElse(-1.0))
+
+    // contention self-diagnosis: warm best > 1.5x cold is physically
+    // impossible from plan properties alone (floor of 0.15s keeps
+    // scheduler jitter on sub-100ms queries from tripping it), and warm
+    // passes disagreeing >3x among themselves means something else had
+    // the CPU mid-run.
+    val coldMap = cold.toMap
+    val suspects = headline.flatMap { n =>
+      val c = coldMap(n); val ws = warmAll(n).filter(_ >= 0)
+      if (c < 0 || ws.isEmpty) None
+      else if (ws.min > 1.5 * math.max(c, 0.15)) Some(s"$n:warm>1.5x-cold")
+      else if (ws.max > 3.0 * math.max(ws.min, 0.15)) Some(s"$n:warm-spread>3x")
+      else None
+    }
 
     def fmt(xs: Iterable[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = warm.map(_._2).filter(_ >= 0).sum
+    def fmtSeq(xs: Iterable[(String, Seq[Double])]) =
+      xs.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val total = warmBest.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":${fmt(warm)},"cold_sec":${fmt(cold)},""" +
+      s""""queries":${fmt(warmBest)},"cold_sec":${fmt(cold)},""" +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
+      s""""warm_passes":${fmtSeq(headline.map(n => n -> warmAll(n)))},""" +
+      s""""contended":${suspects.nonEmpty},""" +
+      s""""contention_detail":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""cold_note":"cold caches, warm JIT (per-group untimed warmup pass precedes it)",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,75 +27,95 @@ object PipelineEntries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/documents.parquet")
 
-  /** Shared hashed-shingle signature table (Dedup.signatures), persisted
-    * once per (session, corpus): the four headline dedup queries
-    * (minhash, exact/blocked n-gram jaccard, clusters) all start from it,
-    * so the tokenize+shingle+hash corpus scan — the single most expensive
-    * dedup stage — runs once instead of once per query per self-join
-    * branch. This is the same prepare-once-query-many shape as the rollup
-    * layouts: at cluster scale this table is a written artifact
-    * (`Prepare`-style parquet), here it is an in-session MEMORY_AND_DISK
-    * persist (~16 bytes/shingle: trivial next to the corpus). Oracles are
-    * unaffected — DuckDB recomputes from raw text and the hash-verified
-    * jaccard equals the string-verified one (hashing preserves set
-    * cardinalities w.h.p.). */
-  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Shared pipeline intermediates as WRITTEN prepare artifacts.
+    *
+    * The expensive corpus-scale stages behind the dedup/ANN entries —
+    * the hashed-shingle signature table, the shared-shingle pair counts,
+    * the verified jaccard>=0.5 pair set, the shingle document
+    * frequencies, the IVF index — are prepare-once-query-many, exactly
+    * like the rollup layouts. They are therefore materialized as ZSTD
+    * parquet under `target/prepared/pipeline/<corpus>/<name>` on first
+    * use and READ back on every use after that, including from a fresh
+    * session/JVM: the build runs once per corpus, not once per session.
+    * (`rm -rf target/prepared` invalidates, same as the rollups — the
+    * CLAUDE.md gate note.) Oracles are unaffected: DuckDB recomputes
+    * from raw text, and the hash-verified jaccard equals the
+    * string-verified one (hashing preserves set cardinalities w.h.p.).
+    *
+    * `computeIfAbsent` serializes concurrent builders of the same key
+    * inside a JVM; the per-(session, key) memo also keeps repeated
+    * queries from re-listing the directory. */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private def artifactPath(dir: String, name: String): String =
+    s"target/prepared/pipeline/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"
+  private def artifact(s: SparkSession, dir: String, name: String)
+                      (build: => DataFrame): DataFrame =
+    artifactMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir + ":" + name, _ => {
+        val path = artifactPath(dir, name)
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          build.write.mode("overwrite")
+            .option("compression", "zstd").parquet(path)
+        s.read.parquet(path)
+      })
+
+  /** Hashed-shingle signature table (Dedup.signatures): the headline
+    * dedup queries (minhash, exact/blocked n-gram jaccard, clusters) all
+    * start from it, so the tokenize+shingle+hash corpus scan — the
+    * single most expensive dedup stage — runs once per corpus ever
+    * (~16 bytes/shingle on disk: trivial next to the corpus). */
   private def docSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
-      Dedup.signatures(docs(s, dir), "doc_id", "text", n = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    artifact(s, dir, "signatures")(
+      Dedup.signatures(docs(s, dir), "doc_id", "text", n = 3))
 
   /** Shared-shingle pair-count table (Dedup.pairCountsFromSigs over
-    * [[docSigs]]), persisted once per (session, corpus): the
-    * inverted-index self-join + count aggregation is the single expensive
-    * stage behind EVERY set-overlap near-dup measure — exact Jaccard (two
-    * thresholds: the 0.3 report and the 0.5 cluster edges) and
-    * containment all filter these five integer columns. One join pays for
-    * all of them; each measure is then a codegen'd arithmetic filter.
-    * Same prepare-once-query-many shape as [[docSigs]]. */
-  private val pcCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * [[docSigs]]): the inverted-index self-join + count aggregation is
+    * the single expensive stage behind EVERY set-overlap near-dup
+    * measure — exact Jaccard (two thresholds: the 0.3 report and the
+    * 0.5 cluster edges) and containment all filter these five integer
+    * columns. One written join pays for all of them; each measure is
+    * then a codegen'd arithmetic filter over a parquet scan. */
   private def docPairCounts(s: SparkSession, dir: String): DataFrame =
-    pcCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
-      Dedup.pairCountsFromSigs(docSigs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    artifact(s, dir, "pair_counts")(
+      Dedup.pairCountsFromSigs(docSigs(s, dir)))
 
-  /** Shared verified near-dup pair table (exact jaccard >= 0.5 over
+  /** Verified near-dup pair table (exact jaccard >= 0.5 over
     * [[docPairCounts]]): cluster resolution and representative
-    * materialization both consume exactly this pair set, so it is
-    * materialized once per (session, corpus) — the dedup-pipeline
-    * analogue of a written `pairs/` artifact at cluster scale.
-    * localCheckpoint materializes the blocks eagerly (executor-local),
-    * so neither consumer ever re-executes the candidate join. */
-  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * materialization both consume exactly this pair set — the written
+    * `pairs/` artifact of a cluster-scale dedup pipeline. */
   private def jaccardPairs05(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
-      Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.5)
-        .localCheckpoint(true))
+    artifact(s, dir, "pairs_j05")(
+      Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.5))
 
   /** Shingle document-frequency table (Dedup.shingleDocFreq over
-    * [[docSigs]]), persisted once per (session, corpus): the blocked
-    * jaccard's candidate filter and stop-shingle profile both read it —
-    * at cluster scale this |vocab| table is a written prepare artifact
-    * next to the signature table. */
-  private val dfcCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * [[docSigs]]): the blocked jaccard's candidate filter and the
+    * stop-shingle profile both read this |vocab| table. */
   private def docShingleDf(s: SparkSession, dir: String): DataFrame =
-    dfcCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir,
-      Dedup.shingleDocFreq(docSigs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    artifact(s, dir, "shingle_df")(
+      Dedup.shingleDocFreq(docSigs(s, dir)))
 
-  /** IVF index (Lloyd-trained centroids + bucketed corpus), built once
-    * per (session, corpus) — same prepare-once-query-many shape as
-    * [[docSigs]]: index TRAINING is prepare-phase work; the per-query
-    * cost is nprobe bucket joins + exact re-rank. */
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Array[Seq[Float]], DataFrame)]
+  /** IVF index (Lloyd-trained centroids + bucketed corpus) — index
+    * TRAINING is prepare-phase work written once per corpus
+    * (`ivf_centroids`, `ivf_buckets`); the per-query cost is nprobe
+    * bucket joins + exact re-rank. Centroids are nlist x dim — bounded
+    * driver state by contract, collected from the written table. */
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Seq[Float]], DataFrame)]
   private def ivfIndex(s: SparkSession, dir: String): (Array[Seq[Float]], DataFrame) =
-    ivfCache.getOrElseUpdate(s.sparkContext.applicationId + ":" + dir, {
-      val e = embeddings(s, dir)
-      val cent = Similarity.ivfTrain(e, "vec_id", "embedding",
-        nlist = 16, iters = 3)
-      val bucketed = Similarity.ivfBucketedCorpus(e, "vec_id", "embedding", cent)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfMemo.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val centDf = artifact(s, dir, "ivf_centroids") {
+        val trained = Similarity.ivfTrain(embeddings(s, dir),
+          "vec_id", "embedding", nlist = 16, iters = 3)
+        import s.implicits._
+        trained.toSeq.zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("bucket", "centroid")
+      }
+      val cent: Array[Seq[Float]] = centDf.orderBy(col("bucket"))
+        .select(col("centroid")).collect().map(_.getSeq[Float](0))
+      val bucketed = artifact(s, dir, "ivf_buckets")(
+        Similarity.ivfBucketedCorpus(embeddings(s, dir),
+          "vec_id", "embedding", cent))
       (cent, bucketed)
     })
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -356,9 +376,13 @@ object PipelineEntries {
     // the corpus total is a 1-row aggregate broadcast back onto the
     // |vocab| table (NEVER a Window.partitionBy() — an empty-key window
     // funnels the whole vocabulary, billions of rows at web scale,
-    // through one partition); the |vocab|-row logprob table then
-    // broadcasts onto the exploded corpus, so the fact side never
-    // reshuffles for the join. Log-probs are quantized to 1e-6 integers
+    // through one partition); the |vocab|-row logprob table joins the
+    // exploded corpus WITHOUT a broadcast hint — a whitespace-token web
+    // vocabulary (typos, URLs) is 10^8-10^9 rows, past any broadcast
+    // threshold, so the hint would OOM the driver before the plan runs;
+    // AQE still broadcasts it when the runtime size fits (as it does at
+    // test scale), matching text_bigram_logprob's stated rationale.
+    // Log-probs are quantized to 1e-6 integers
     // BEFORE the per-doc sum so the aggregation is exact and order-free
     // (a double sum re-associates across partitions and can flip the
     // 4dp output between engines — the emb_label_centroid precedent).
@@ -371,7 +395,7 @@ object PipelineEntries {
         .select(col("token"),
           round(log(col("c").cast(DoubleType) / col("t").cast(DoubleType))
             * lit(1000000.0), 0).cast(LongType).as("q"))
-      toks.join(broadcast(lp), "token")
+      toks.join(lp, "token")
         .groupBy(col("doc_id"))
         .agg(round(-sum(col("q")).cast(DoubleType) /
             (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4).as("nll"),
@@ -383,7 +407,10 @@ object PipelineEntries {
     // domain-weighting diagnostic next to ext_domain_mix). Totals are
     // 1-row / |sources|-row aggregates broadcast back onto the vocab
     // tables (never an empty-key or per-source window — either funnels
-    // the per-source vocabulary through one partition at scale); KL
+    // the per-source vocabulary through one partition at scale); the
+    // corpus-probability table itself is |vocab| rows (unbounded at web
+    // scale) so its join carries NO broadcast hint — AQE broadcasts it
+    // only when the runtime size actually fits; KL
     // terms are quantized to 1e-9 integers before the sum so the
     // per-source aggregation is exact and order-free across engines.
     "text_source_divergence" -> ((s, dir) => {
@@ -400,7 +427,7 @@ object PipelineEntries {
       val perSrc = perCnt.join(broadcast(perTot), "source")
         .select(col("source"), col("token"),
           (col("cs").cast(DoubleType) / col("ts").cast(DoubleType)).as("ps"))
-      perSrc.join(broadcast(corpus), "token")
+      perSrc.join(corpus, "token")
         .select(col("source"),
           round(col("ps") * log(col("ps") / col("p")) * lit(1000000000.0), 0)
             .cast(LongType).as("q"))
@@ -2061,10 +2088,12 @@ object PipelineEntries {
     // per-(subspace, code, dim) mean; empty cells keep their centroid),
     // then ADC scoring sum_s dot[s][code_s] / (|q| sqrt(sum_s
     // nrm[s][code_s])), refine*k=20 shortlist by (adc, n_id), exact
-    // float cosine re-rank top-5. Codebook means stay DOUBLE (the Spark
-    // trainer holds doubles); the 4dp-rounded output tolerates the
-    // sub-1e-13 cross-engine summation jitter unless a value sits on a
-    // rounding boundary — accepted, like graph_pagerank.
+    // float cosine re-rank top-5. Codebook means are cast to REAL on
+    // both sides (toFloat in Quantization.trainPq, CAST(avg AS REAL)
+    // here — the IVF centroid treatment): avg() associates partial sums
+    // differently per engine, and the means feed encodePq's squared-L2
+    // argmin and the ADC shortlist cutoff, where a ulp-level divergence
+    // could flip a code or shortlist member data-dependently.
     "ann_pq_topk" -> {
       // dsub = 64/8 = 8 dims per subspace; k = 16 codes; iters = 2
       def encode(cb: String, name: String) =
@@ -2076,7 +2105,7 @@ object PipelineEntries {
              FROM sub JOIN $cb c ON c.s = sub.s) WHERE rn = 1)"""
       def update(asg: String, prev: String, un: String, cn: String) =
         s"""$un AS (SELECT a.s, a.code, sx.pos,
-               avg(sx.val) AS m
+               CAST(CAST(avg(sx.val) AS REAL) AS DOUBLE) AS m
              FROM $asg a
              JOIN (SELECT vec_id, s, unnest(subv) AS val,
                      generate_subscripts(subv, 1) AS pos FROM sub) sx
@@ -2162,7 +2191,7 @@ object PipelineEntries {
              FROM sub JOIN $cb c ON c.s = sub.s) WHERE rn = 1)"""
       def pupdate(asg: String, prev: String, un: String, cn: String) =
         s"""$un AS (SELECT a.s, a.code, sx.pos,
-               avg(sx.val) AS m
+               CAST(CAST(avg(sx.val) AS REAL) AS DOUBLE) AS m
              FROM $asg a
              JOIN (SELECT vec_id, s, unnest(subv) AS val,
                      generate_subscripts(subv, 1) AS pos FROM sub) sx
@@ -2519,6 +2548,6 @@ object PipelineEntries {
          WHERE session_id < (SELECT max(session_id) FROM sess s2
                              WHERE s2.user_id = sess.user_id)"""
     // every ANN entry is oracled (portable hyperplanes / unrolled Lloyd);
-    // ext_approx_distinct stays rows-only by nature (HLL estimate)
+    // ext_approx_distinct is oracled via its tolerance verdict (SparkEntry)
   )
 }

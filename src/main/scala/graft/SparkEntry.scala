@@ -899,10 +899,20 @@ object SparkEntry {
           last(col("event_type")).over(w).as("last_type"))
     }),
 
-    // approximate distinct (HLL) — no DuckDB-equivalent result; rows-only
+    // approximate distinct (HLL) with a both-engines-computable verdict:
+    // the HLL estimate itself is engine-specific (so it is NOT in the
+    // output), but |approx - exact| / exact <= 0.05 — the documented
+    // accuracy contract of approx_count_distinct's default rsd — is, and
+    // the oracle restates it against DuckDB's own exact count. The entry
+    // therefore hash-fails if Spark's HLL ever drifts out of tolerance,
+    // instead of being exempt from checking.
     "ext_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users")))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05).as("within_tol")))
   )
 
   /** CSV roundtrip helper for s1/s2: parquet events -> CSV (microsecond
@@ -1371,7 +1381,14 @@ object SparkEntry {
            last_value(event_type) OVER w AS last_type
          FROM events WHERE user_id < 50
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
-    // ext_approx_distinct: intentionally no oracle (approximate result)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // ext_approx_distinct: the HLL estimate is engine-specific, so the
+    // compared columns are the exact count and the tolerance verdict the
+    // Spark side computes from its own estimate (TRUE here = the oracle's
+    // claim that the estimate is within the documented 5% contract)
+    "ext_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+         FROM events GROUP BY 1"""
   )
 }

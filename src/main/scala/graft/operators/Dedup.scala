@@ -766,12 +766,27 @@ object Dedup {
 
   // ------------------------------------------- embedding cosine near-dup
 
-  /** Near-duplicate pairs by embedding cosine >= threshold. The pair
-    * generation here is a block nested-loop over bucketed norms — for the
-    * scale path use [[Similarity.lshBuckets]] instead; this exact variant
-    * is the oracle-checkable baseline. */
+  /** Near-duplicate pairs by embedding cosine >= threshold via an exact
+    * all-pairs comparison — an explicit crossJoin filtered to
+    * `a_id < b_id`, O(N²) BY DESIGN. This is the recall-VERIFICATION
+    * baseline for the banded sign-LSH scale path
+    * ([[Similarity.lshCosinePairs]]), never a production path, and its
+    * input cardinality is therefore bounded the same way [[clusters]]
+    * bounds its collected edge list: the call counts `df` eagerly and
+    * refuses anything past `maxInputRows` (default 100k ≈ 5×10⁹
+    * comparisons — already generous for a recall sample). Callers verify
+    * recall on a SAMPLE of the corpus; pointing this at the full corpus
+    * is exactly the 100 TB scale-killer the cap exists to make loud. The
+    * resulting CartesianProduct is the single whitelisted cartesian in
+    * PlanAuditSpec — any other plan that goes cartesian fails CI. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           maxInputRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxInputRows,
+      s"embeddingCosinePairs is the O(N^2) recall-verification baseline; " +
+      s"input has $n rows > cap $maxInputRows. Sample the corpus for " +
+      "verification, or use Similarity.lshCosinePairs (the banded scale path).")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = v.select(col("id").as("a_id"), col("v").as("a_v"))
     val b = v.select(col("id").as("b_id"), col("v").as("b_v"))

@@ -101,9 +101,18 @@ object Quantization {
         .agg(avg(col("col")).as("mean"))
         .collect()
       val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      // quantize each mean to float32 (same as the oracle's CAST(avg AS
+      // REAL), mirroring the IVF centroid treatment): avg() sums in
+      // whatever partial-aggregate association order the engine picked,
+      // so the raw doubles can differ between Spark and DuckDB at the
+      // ulp level — and those doubles feed encodePq's squared-L2 argmin
+      // and the ADC refine*k cutoff, where a near-tie would flip a code
+      // or shortlist member data-dependently. Float rounding absorbs
+      // the divergence.
       codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
         byKey.get((s, c)) match {
-          case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          case Some(rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat.toDouble).toArray
           case None => codebooks(s)(c) // empty cell keeps its centroid
         }))
     }

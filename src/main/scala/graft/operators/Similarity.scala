@@ -58,25 +58,52 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * portable md5-56 hash of "plane_dim" ([[Dedup.portableHash56]])
-    * mapped to [-1, 1). Executor-independent AND engine-portable: any
-    * md5-capable engine reproduces the identical hyperplanes, so the
-    * DuckDB oracle can restate the full bucket + multi-probe + re-rank
-    * contract (the same reproducibility argument as dedup_prefix /
-    * dedup_simhash). 2^56 values / 2^55 - 1 covers [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (Dedup.portableHash56(concat_ws("_", lit(plane), dim)).cast(DoubleType) /
-      lit(36028797018963968.0)) - lit(1.0)
+  /** Deterministic pseudo-random hyperplanes: component (plane, d) is
+    * the portable md5-56 hash of "plane_d" (the same formula as
+    * [[Dedup.portableHash56]]) mapped to [-1, 1) — 2^56 values / 2^55,
+    * minus 1. Executor-independent AND engine-portable: any md5-capable
+    * engine reproduces the identical hyperplanes, so the DuckDB oracle
+    * can restate the full bucket + multi-probe + re-rank contract (the
+    * same reproducibility argument as dedup_prefix / dedup_simhash).
+    *
+    * The value depends only on the CONSTANT (plane, d), so the matrix
+    * is precomputed on the driver ([[hash56Local]], the JVM replica of
+    * portableHash56) and baked into the plan as typedlit arrays — like
+    * the IVF centroids. Evaluating the hash per row (the previous
+    * formulation) paid an md5 of a built string per
+    * (row x plane x dimension); the oracle still recomputes the same
+    * values in SQL, because only the values matter. */
+  private def hash56Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 14 hex chars == first 7 bytes, big-endian (always positive)
+    d.take(7).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+  private[graft] def planeVector(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d =>
+      hash56Local(s"${plane}_$d") / 36028797018963968.0 - 1.0)
 
-  /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column =
+  /** Dot product of a vector column with precomputed hyperplane `plane`
+    * — strict index order, same products and left-fold order as the
+    * per-row md5 formulation it replaced, so buckets are bit-identical. */
+  private def planeDot(vec: Column, plane: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, typedlit(planeVector(plane, dim)),
+        (v, p) => v.cast(DoubleType) * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Embedding dimensionality, sniffed from one row (driver-side, one
+    * bounded job) — needed to size the precomputed hyperplane matrix. */
+  private def dimOf(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol))).limit(1).collect()
+    if (row.isEmpty) 0 else row(0).getInt(0)
+  }
+
+  /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes of
+    * dimensionality `dim`. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast(DoubleType) * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(planeDot(vec, p, dim) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
   /** Banded sign-LSH near-dup pairs over an embedding column — the
@@ -98,15 +125,13 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 16,
                      planesPerBand: Int = 4): DataFrame = {
+    val dim = dimOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandBuckets = array((0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
         val plane = b * planesPerBand + p
-        val dotp = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, i) => x.cast(DoubleType) * planeComponent(plane, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(planeDot(col("v"), plane, dim) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
       }.reduce[Column]((a, c) => a.bitwiseOR(c))
     }: _*)
     val banded = v.select(col("id"), posexplode(bandBuckets))
@@ -224,10 +249,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, probeDistance: Int = 1): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
-      .withColumn("bucket", lshBucket(col("n_v"), numPlanes))
+      .withColumn("bucket", lshBucket(col("n_v"), numPlanes, dim))
     val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .withColumn("bucket0", lshBucket(col("q_v"), numPlanes))
+      .withColumn("bucket0", lshBucket(col("q_v"), numPlanes, dim))
     // multi-probe: the query's own bucket + each single-bit flip
     val probes: Column =
       if (probeDistance <= 0) array(col("bucket0"))

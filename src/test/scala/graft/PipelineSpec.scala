@@ -70,6 +70,16 @@ class PipelineSpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("all-pairs baseline refuses input past its cardinality cap") {
+    // the O(N^2) crossJoin exists only as a recall-verification baseline;
+    // its input bound must fail loudly, like clusters' 5M-edge cap
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding",
+        threshold = 0.45, maxInputRows = 10L)
+    }
+    assert(e.getMessage.contains("lshCosinePairs"))
+  }
+
   test("asof join: inclusive backward semantics, nulls before first match") {
     import SparkSpecBase.implicits._
     import graft.operators.AsofJoin

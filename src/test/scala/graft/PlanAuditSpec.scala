@@ -299,6 +299,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("unbounded |vocab|-keyed joins carry no broadcast hint (AQE decides)") {
+    // text_unigram_logprob / text_source_divergence: a whitespace-token
+    // web vocabulary (typos, URLs) is 10^8-10^9 rows — a broadcast()
+    // hint on it OOMs the driver before the plan runs. Only the 1-row /
+    // |sources|-row totals may be hinted; the token-keyed joins must be
+    // unhinted so AQE broadcasts only when the runtime size fits.
+    for (name <- Seq("text_unigram_logprob", "text_source_divergence",
+        "text_bigram_logprob")) {
+      val opt = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      val hinted = opt.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("token") &&
+          l.contains("strategy=broadcast")).toSeq
+      assert(hinted.isEmpty,
+        s"$name: broadcast hint on a |vocab|-keyed join:\n${hinted.mkString("\n")}")
+    }
+  }
+
+  test("the bounded all-pairs embedding baseline is the ONLY unhinted cartesian") {
+    // Global audit: an unhinted `Join Cross` is the canonical 100 TB
+    // scale-killer plan shape. The single permitted instance is
+    // dedup_embedding_cosine — the O(N^2) recall-verification baseline,
+    // whose input Dedup.embeddingCosinePairs counts eagerly and caps.
+    // Hinted crosses (broadcast 1-row totals, the ext_cross_join dim
+    // grid) carry strategy=broadcast and are keyed out. Streaming
+    // entries are excluded only because constructing them executes the
+    // stream; their joins are watermark-keyed and tested in their specs.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+      .flatMap { name =>
+        val opt = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.toString
+        val crosses = opt.linesIterator.filter(l =>
+          l.contains("Join Cross") && !l.contains("strategy=broadcast")).toSeq
+        if (crosses.isEmpty) Nil else Seq(name -> crosses)
+      }
+    assert(offenders.map(_._1) == Seq("dedup_embedding_cosine"),
+      offenders.map { case (n, ls) => s"$n:\n${ls.mkString("\n")}" }
+        .mkString("\n\n"))
+  }
+
   test("banded embedding LSH never plans a cartesian product") {
     // the whole point of the scale path vs dedup_embedding_cosine: the
     // candidate join is keyed on (band, bucket) — a hash join — while
