@@ -169,7 +169,7 @@ object AnalyticsEntries {
           max(col("ts").cast(DateType)).as("d1"))
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       ev.select(col("event_type")).distinct()
-        .crossJoin(spine)
+        .crossJoin(broadcast(spine))
         .join(daily, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))
@@ -322,8 +322,8 @@ object AnalyticsEntries {
         .join(clk, "user_id").filter(col("ts") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       sgn.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(clk.agg(count(lit(1)).as("n_click")))
-        .crossJoin(pur.agg(count(lit(1)).as("n_purchase")))
+        .crossJoin(broadcast(clk.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(pur.agg(count(lit(1)).as("n_purchase"))))
     }),
 
     // day-over-day retention: users active on d AND d+1, per day. One
@@ -359,11 +359,11 @@ object AnalyticsEntries {
           lit(width))
       val ds4 = s.range(4).select(col("id").as("d"))
       val ev = events(s, dir).select(col("user_id"))
-      val cms = ev.crossJoin(ds4)
+      val cms = ev.crossJoin(broadcast(ds4))
         .groupBy(col("d"), bucket(col("d"), col("user_id")).as("bucket"))
         .agg(count(lit(1)).as("c"))
       val probes = ev.filter(col("user_id") < 25).distinct()
-      probes.crossJoin(ds4)
+      probes.crossJoin(broadcast(ds4))
         .withColumn("bucket", bucket(col("d"), col("user_id")))
         .join(cms, Seq("d", "bucket"))
         .groupBy(col("user_id"))

@@ -42,23 +42,42 @@ object PipelineEntries {
     * from raw text, and the hash-verified jaccard equals the
     * string-verified one (hashing preserves set cardinalities w.h.p.).
     *
-    * `computeIfAbsent` serializes concurrent builders of the same key
-    * inside a JVM; the per-(session, key) memo also keeps repeated
-    * queries from re-listing the directory. */
+    * The per-(session, key) memo keeps repeated queries from re-listing
+    * the directory. */
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val artifactLock = new Object
+  /** Bump whenever the BUILD LOGIC of any artifact changes (edits to
+    * Dedup / Similarity / this file): the version is part of the on-disk
+    * path, so parquet written by an older build is never silently reused
+    * across JVMs — the gates would otherwise validate stale results. */
+  private val ArtifactVersion = 2
   private def artifactPath(dir: String, name: String): String =
-    s"target/prepared/pipeline/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"
+    s"target/prepared/pipeline/v$ArtifactVersion/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"
   private def artifact(s: SparkSession, dir: String, name: String)
-                      (build: => DataFrame): DataFrame =
-    artifactMemo.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir + ":" + name, _ => {
-        val path = artifactPath(dir, name)
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
-          build.write.mode("overwrite")
-            .option("compression", "zstd").parquet(path)
-        s.read.parquet(path)
-      })
+                      (build: => DataFrame): DataFrame = {
+    val key = s.sparkContext.applicationId + ":" + dir + ":" + name
+    // NOT computeIfAbsent: artifact builds are recursive (pair_counts
+    // builds from docSigs, which re-enters this map under a different
+    // key), and a nested computeIfAbsent on the same ConcurrentHashMap
+    // throws IllegalStateException("Recursive update") or livelocks when
+    // the keys land in the same bin. get + reentrant-synchronized build +
+    // put: nested lookups never run inside a CHM mapping function.
+    val hit = artifactMemo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = artifactMemo.get(key)
+      if (again != null) return again
+      val path = artifactPath(dir, name)
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        build.write.mode("overwrite")
+          .option("compression", "zstd").parquet(path)
+      val df = s.read.parquet(path)
+      artifactMemo.put(key, df)
+      df
+    }
+  }
 
   /** Hashed-shingle signature table (Dedup.signatures): the headline
     * dedup queries (minhash, exact/blocked n-gram jaccard, clusters) all

@@ -174,7 +174,10 @@ class EngineSpec extends SparkSpec {
   }
 
   test("routed results equal scanned results (incl. AVG decomposition)") {
-    val eng = SparkEntry.preparedEngine(spark, sfDir)
+    // cacheResults = false: the shared memoized engine's ResultCache may
+    // already hold this canonical query (PlanAuditSpec constructs every
+    // entry through it), which would report CacheHit instead of Routed.
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
     val json =
       """{"select":["event_type",{"SUM":"value"},{"AVG":"value"},{"COUNT":"*"}],
          "from":"events","group_by":["event_type"]}"""
