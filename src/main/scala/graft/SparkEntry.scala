@@ -291,6 +291,46 @@ object SparkEntry {
          "order_by":[{"col":"minute","dir":"asc"}]}""",
       "sum(value)" -> "sum_value"),
 
+    // ---- the reference's 3 ALTERNATE golden queries
+    // ---- (custom_queries_example.json:1-30), same schema mapping as
+    // ---- golden_q1..q5: type->event_type ('impression'->'view'),
+    // ---- bid_price->value, country->day (alt1, the low-card group) or a
+    // ---- user_id band (alt3's eq filter, per golden_q2's precedent),
+    // ---- publisher_id->user_id. alt2 is the no-WHERE COUNT(*)-by-type
+    // ---- global path; alt3 exercises AVG decomposition (sum/cnt)
+    // ---- through the aggregate router with a key-band residual.
+
+    "golden_alt1" -> dslPrepared(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"}],
+         "group_by":["day"],
+         "order_by":[{"col":"SUM(value)","dir":"desc"}]}""",
+      "sum(value)" -> "sum_value"),
+
+    "golden_alt2" -> dslPrepared(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt"),
+
+    // AVG of 2dp values is k/(100*cnt), which lands EXACTLY on a 4dp
+    // rounding boundary whenever 200k = cnt*(2m+1) (e.g. user 116 at
+    // sf0.01: 43.56875) — there a 1-ulp float-reassociation difference
+    // between engines flips round(.,4) in opposite directions. Both
+    // sides therefore round avg+1e-9: an exact-boundary quotient is
+    // pushed firmly up on both engines, and any non-boundary quotient
+    // is >= 1/(20000*cnt) ~ 1e-7 from the boundary, so the nudge can't
+    // flip it (same epsilon-guard idea as Dedup's PPJoin ceil).
+    "golden_alt3" -> ((s, dir) => {
+      preparedEngine(s, dir).executeJson(
+        """{"select":["user_id",{"AVG":"value"}],"from":"events",
+           "where":[{"col":"event_type","op":"eq","val":"view"},
+                    {"col":"user_id","op":"between","val":[100,130]}],
+           "group_by":["user_id"],
+           "order_by":[{"col":"AVG(value)","dir":"desc"}]}""")
+        .select(col("user_id"),
+          round(col("`avg(value)`") + lit(1e-9), 4).as("avg_value"))
+    }),
+
     // ---- S1/S2: CSV sources (SURVEY §2.1). Roundtrip events through CSV
     // ---- (microsecond-preserving format) and aggregate.
 
@@ -1043,6 +1083,14 @@ object SparkEntry {
       "SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY cnt DESC",
     "golden_q5" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE event_type = 'view' AND $dayE = DATE '2024-01-15' GROUP BY 1 ORDER BY 1 ASC",
+    "golden_alt1" ->
+      s"SELECT $dayE AS day, round(sum(value),4) AS sum_value FROM events WHERE event_type = 'view' GROUP BY 1 ORDER BY sum(value) DESC",
+    "golden_alt2" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
+    "golden_alt3" ->  // +1e-9: exact-boundary guard, see queries entry
+      ("SELECT user_id, round(avg(value) + 1e-9, 4) AS avg_value FROM events " +
+       "WHERE event_type = 'view' AND user_id BETWEEN 100 AND 130 " +
+       "GROUP BY 1 ORDER BY avg(value) DESC"),
     "s1_csv_strict" ->
       s"SELECT $dayE AS day, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
     "s2_csv_permissive" ->

@@ -127,6 +127,32 @@ class PlanAuditSpec extends SparkSpec {
                 {"col":"day","op":"between","val":["2024-01-10","2024-01-13"]}],
        "group_by":["user_id"]}"""
     assert(routeOf(scanned) == "Scanned", s"expected Scanned, got ${routeOf(scanned)}")
+
+    // the alternate corpus (custom_queries_example.json:1-30, schema-
+    // mapped): alt1 = golden_q1 + ORDER BY on the measure (still the
+    // (type, day) cube); alt2 = no-WHERE COUNT(*) by type (coarser
+    // re-aggregation of the same cube); alt3 = AVG by user band, which
+    // must route to the (user, type) cube with AVG DECOMPOSED to
+    // sum/cnt and the user_id band applied as a key-range residual on
+    // the rollup — falling back to a fact scan here would mean the
+    // router can't decompose AVG, the reference suite's key trick.
+    val alt1Route = routeOf(
+      """{"select":["day",{"SUM":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"}],
+         "group_by":["day"],
+         "order_by":[{"col":"SUM(value)","dir":"desc"}]}""")
+    assert(alt1Route.contains("Routed(agg_type_day_value)"), alt1Route)
+    val alt2Route = routeOf(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "group_by":["event_type"]}""")
+    assert(alt2Route.contains("Routed(agg_type_day_value)"), alt2Route)
+    val alt3Route = routeOf(
+      """{"select":["user_id",{"AVG":"value"}],"from":"events",
+         "where":[{"col":"event_type","op":"eq","val":"view"},
+                  {"col":"user_id","op":"between","val":[100,130]}],
+         "group_by":["user_id"],
+         "order_by":[{"col":"AVG(value)","dir":"desc"}]}""")
+    assert(alt3Route.contains("Routed(agg_user_type)"), alt3Route)
   }
 
   test("bucketed join plans with zero exchange on the join inputs") {
