@@ -941,18 +941,20 @@ object SparkEntry {
 
     // approximate distinct (HLL) with a both-engines-computable verdict:
     // the HLL estimate itself is engine-specific (so it is NOT in the
-    // output), but |approx - exact| / exact <= 0.05 — the documented
-    // accuracy contract of approx_count_distinct's default rsd — is, and
-    // the oracle restates it against DuckDB's own exact count. The entry
-    // therefore hash-fails if Spark's HLL ever drifts out of tolerance,
-    // instead of being exempt from checking.
+    // output), but |approx - exact| / exact <= 0.15 is, and the oracle
+    // restates it against DuckDB's own exact count. The entry therefore
+    // hash-fails if Spark's HLL ever drifts out of tolerance, instead of
+    // being exempt from checking. Threshold: approx_count_distinct's
+    // default rsd=0.05 is a relative STANDARD DEVIATION, not a bound —
+    // 3x rsd keeps the probability of a legitimate estimate tripping the
+    // gate negligible (~0.3%) on any corpus, not just the committed one.
     "ext_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count_distinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
-            col("exact_users").cast("double") <= 0.05).as("within_tol")))
+            col("exact_users").cast("double") <= 0.15).as("within_tol")))
   )
 
   /** CSV roundtrip helper for s1/s2: parquet events -> CSV (microsecond
@@ -1433,7 +1435,7 @@ object SparkEntry {
     // ext_approx_distinct: the HLL estimate is engine-specific, so the
     // compared columns are the exact count and the tolerance verdict the
     // Spark side computes from its own estimate (TRUE here = the oracle's
-    // claim that the estimate is within the documented 5% contract)
+    // claim that the estimate is within 3x the default rsd of 0.05)
     "ext_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            TRUE AS within_tol

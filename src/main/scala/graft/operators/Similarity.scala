@@ -92,12 +92,30 @@ object Similarity {
         (v, p) => v.cast(DoubleType) * p),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Embedding dimensionality, sniffed from one row (driver-side, one
-    * bounded job) — needed to size the precomputed hyperplane matrix. */
+  /** Embedding dimensionality, sniffed from one NON-NULL row
+    * (driver-side, one bounded job) — needed to size the precomputed
+    * hyperplane matrix. Uniform dimensionality is a PRECONDITION of
+    * every LSH/IVF operator here (the hyperplane matrices are fixed-dim);
+    * [[requireDim]] turns a violating row into a loud runtime error
+    * instead of a silently zero-padded dot product. */
   private def dimOf(df: DataFrame, vecCol: String): Int = {
-    val row = df.select(size(col(vecCol))).limit(1).collect()
-    if (row.isEmpty) 0 else row(0).getInt(0)
+    val row = df.select(size(col(vecCol)))
+      .where(col(vecCol).isNotNull).limit(1).collect()
+    require(row.nonEmpty,
+      s"cannot infer embedding dimensionality: column '$vecCol' has no " +
+        "non-null vectors")
+    row(0).getInt(0)
   }
+
+  /** Pass `vec` through iff it matches the sniffed dimensionality; any
+    * other length (or null) raises at execution time. Guards the bucket
+    * paths: a zip_with against a fixed-dim hyperplane null-pads length
+    * mismatches, which would silently zero the sign bit. */
+  private def requireDim(vec: Column, dim: Int): Column =
+    when(vec.isNotNull && size(vec) === dim, vec)
+      .otherwise(raise_error(concat(
+        lit(s"embedding dimensionality mismatch: expected $dim, got "),
+        coalesce(size(vec).cast("string"), lit("null")))))
 
   /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes of
     * dimensionality `dim`. */
@@ -126,7 +144,8 @@ object Similarity {
                      threshold: Double, bands: Int = 16,
                      planesPerBand: Int = 4): DataFrame = {
     val dim = dimOf(df, vecCol)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = df.select(col(idCol).as("id"),
+      requireDim(col(vecCol), dim).as("v"))
     val bandBuckets = array((0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
         val plane = b * planesPerBand + p
@@ -250,9 +269,11 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, probeDistance: Int = 1): DataFrame = {
     val dim = dimOf(corpus, vecCol)
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val c = corpus.select(col(idCol).as("n_id"),
+        requireDim(col(vecCol), dim).as("n_v"))
       .withColumn("bucket", lshBucket(col("n_v"), numPlanes, dim))
-    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val q0 = queries.select(col(idCol).as("q_id"),
+        requireDim(col(vecCol), dim).as("q_v"))
       .withColumn("bucket0", lshBucket(col("q_v"), numPlanes, dim))
     // multi-probe: the query's own bucket + each single-bit flip
     val probes: Column =
