@@ -528,6 +528,13 @@ object Dedup {
     // ([[shingleDocFreq]]) or persisted here per invocation (pooled,
     // reclaimed by [[releaseIntermediates]]).
     val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(sigs)))
+    // candidate pairs: rare-shingle inverted-index self-join (both
+    // sides shuffle on g; the identical subplans become one exchange
+    // via ReusedExchange) + pair-count aggregation. Measured against a
+    // collect_list + in-group i<j HOF expansion (one exchange fewer on
+    // paper): the HOF variant is 2x SLOWER at sf0.1 — transform/
+    // flatten/slice are CodegenFallback, and the interpreted per-group
+    // lambdas cost more than the exchange they save.
     val invR = inv.join(dfc.filter(col("c").between(2, dfCap))
       .select(col("g")), Seq("g"))
     val pairs = invR.select(col("g"), col("id").as("a_id"))
@@ -535,13 +542,19 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_rare"))
-    // one aggregation builds the whole per-doc profile: total shingle
-    // count + the stop-shingle list (collect_list drops the nulls the
-    // when() leaves on rare/singleton shingles)
-    val prof = inv.join(dfc, Seq("g"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_sh"),
-        collect_list(when(col("c") > dfCap, col("g"))).as("stop"))
+    // per-doc profile WITHOUT joining the corpus against the full
+    // |vocab| table: the total is size(hs) (signatures are distinct per
+    // doc — identical to counting exploded rows), and only the tiny
+    // df>dfCap stop vocabulary joins back against the inverted index
+    // (AQE broadcasts it when it fits; the id-keyed aggregation then
+    // runs over stop matches only, not the whole corpus explode).
+    val stops = inv.join(dfc.filter(col("c") > dfCap).select(col("g")),
+        Seq("g"))
+      .groupBy(col("id")).agg(collect_list(col("g")).as("stop"))
+    val prof = hs.select(col("id"), size(col("hs")).as("n_sh"))
+      .join(stops, Seq("id"), "left")
+      .withColumn("stop",
+        coalesce(col("stop"), array().cast(ArrayType(LongType))))
     val a = prof.select(col("id").as("a_id"), col("n_sh").as("a_n"),
       col("stop").as("a_stop"))
     val b = prof.select(col("id").as("b_id"), col("n_sh").as("b_n"),
