@@ -1123,10 +1123,17 @@ object PipelineEntries {
   }
 
   /** Stage the sf dir's events.parquet into a directory (file-stream
-    * sources require one; once per sf dir) and open it as a stream. */
+    * sources require one; once per sf dir) and open it as a stream.
+    * The raw file is copied VERBATIM, so the stream schema must match
+    * its physical ts layout — TIMESTAMP(NANOS) fixtures (the harness
+    * testdata) stream ts as LongType nanos, anything else (e.g. a
+    * replicated scale fixture written by Spark) as TimestampType. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val tsNanos = graft.sources.ParquetNanos
+      .nanosFields(s, s"$dir/events.parquet").contains("ts")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsNanos) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val name0 = new java.io.File(dir).getName
@@ -1139,7 +1146,7 @@ object PipelineEntries {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     StreamOps.parquetStream(s, streamDir.toString, schema,
-      nanosCols = Set("ts"))
+      nanosCols = if (tsNanos) Set("ts") else Set.empty)
   }
 
   // --------------------------------------------------------------- oracles
