@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // unadjusted micros timestamps (timestamp[us], isAdjustedToUTC=false)
+      // must read as TimestampType (UTC session), not TimestampNTZType:
+      // keeps parquet filter pushdown on ts columns and matches DuckDB's
+      // naive-timestamp view of the same files.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")

@@ -31,6 +31,8 @@ object EventTime {
     val tsDt = df.schema(tsCol).dataType match {
       case _: LongType | _: IntegerType => timestamp_millis(col(tsCol))
       case _: TimestampType => col(tsCol)
+      // NTZ wall clock == UTC instant under the UTC session timeZone.
+      case _: TimestampNTZType => col(tsCol).cast(TimestampType)
       case _: DateType => col(tsCol).cast(TimestampType)
       case other =>
         throw new IllegalArgumentException(s"cannot derive time from $other")

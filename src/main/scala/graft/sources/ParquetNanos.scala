@@ -55,6 +55,10 @@ object ParquetNanos {
     * TimestampType (micros, floor like DuckDB). */
   def read(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) columns must surface as
+    // TimestampType (UTC session == naive wall clock), not NTZ — same
+    // values DuckDB sees, and parquet filter pushdown keeps working.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path)
     nanosFields(spark, path).foldLeft(df) { (d, c) =>
       d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))

@@ -445,8 +445,13 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming windowed agg equals batch aggregation") {
     import org.apache.spark.sql.types._
+    // mirror production (PipelineEntries.eventsStream): ts physical layout
+    // is footer-detected — LongType only for TIMESTAMP(NANOS) fixtures.
+    val tsNanos = graft.sources.ParquetNanos
+      .nanosFields(spark, s"$sfDir/events.parquet").contains("ts")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsNanos) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = new java.io.File("/root/repo/target/tmp/spec_stream")
@@ -456,7 +461,7 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$streamDir/events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stream = StreamOps.parquetStream(spark, streamDir.toString, schema,
-      nanosCols = Set("ts"))
+      nanosCols = if (tsNanos) Set("ts") else Set.empty)
     val out = StreamOps.runToMemory(spark,
       StreamOps.windowedAgg(stream), "spec_win")
       .select(col("window_start"), col("event_type"), col("cnt"))
