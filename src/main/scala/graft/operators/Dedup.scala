@@ -123,7 +123,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("k"))
-    val surv = keyed.join(hot, Seq("k")).select(col("doc_id"), col("pos"))
+    // shuffle_hash: hot leaves its aggregation already partitioned by k,
+    // so only keyed re-shuffles; hashing the hot side skips SMJ sorts
+    val surv = keyed.join(hot.hint("shuffle_hash"), Seq("k"))
+      .select(col("doc_id"), col("pos"))
     // positions grouped per doc so the final pass re-tokenizes ONLY the
     // surviving documents (the corpus-wide branch above never builds a
     // string); the token array rides the tiny per-survivor explode only

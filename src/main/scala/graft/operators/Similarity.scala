@@ -155,8 +155,19 @@ object Similarity {
     }: _*)
     val banded = v.select(col("id"), posexplode(bandBuckets))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")),
+    // Explicit numbered repartition: the banded rows are tiny (3 longs),
+    // so AQE would coalesce the pre-join exchange to ONE partition and
+    // the quadratic in-bucket pair expansion — the actual work — would
+    // run single-threaded. A hard repartition keeps the expansion wide.
+    // NOTE on parameters: bands x planesPerBand is a FIXTURE choice;
+    // 2^planesPerBand buckets per band must grow with the corpus
+    // (planes ~ log2(N / targetBucketSize)) or in-bucket expansion
+    // degenerates toward all-pairs — at 10x this corpus, re-derive the
+    // planes (and the oracle restatement) rather than reusing 4 bits.
+    val parts = math.max(v.sparkSession.sparkContext.defaultParallelism, 32)
+    val bandedW = banded.repartition(parts, col("band"), col("bucket"))
+    val cand = bandedW.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(bandedW.select(col("band"), col("bucket"), col("id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
