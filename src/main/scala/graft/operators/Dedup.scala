@@ -280,11 +280,16 @@ object Dedup {
       min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
         lit(MersenneP))).as(s"m$i")
     }
-    val withSig = staged(exploded
+    // pooled persist, not `staged`: BOTH sides of the banded self-join
+    // below consume the signature table, and AQE does not reuse the
+    // exchange (same lesson as the blocked-jaccard candidate stage) —
+    // without it the 32-min-aggregate groupBy runs twice per query.
+    // One row per doc: trivial to cache at any corpus size.
+    val withSig = pooledPersist(staged(exploded
       .groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")), stage)
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")), stage))
     val banded = withSig.select(
         col("id"),
         posexplode(bound(col("sig"))(g =>
