@@ -40,7 +40,19 @@ object MakeSfN {
       "supplier" -> Seq("s_suppkey"),
       "part" -> Seq("p_partkey"))
 
-    def writeOne(name: String, df: DataFrame): Unit = {
+    def writeOne(name: String, df0: DataFrame): Unit = {
+      // write timestamps as TIMESTAMP(MICROS, isAdjustedToUTC=false) —
+      // the driver testdata's layout (naive wall clock). A TimestampType
+      // column would write adjusted micros, which DuckDB surfaces as
+      // TIMESTAMPTZ and the oracle compare then formats with "+00:00".
+      val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+        f.dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            d.withColumn(f.name, col(f.name).cast(
+              org.apache.spark.sql.types.TimestampNTZType))
+          case _ => d
+        }
+      }
       val tmp = s"$outDir/_tmp_$name"
       df.coalesce(1).write.mode("overwrite")
         .option("compression", "zstd").parquet(tmp)

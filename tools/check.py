@@ -20,6 +20,32 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
+import os
+# Large scale fixtures (sf1+): some oracles (the inverted-index self-join
+# pair family) grow ~quadratically under the replicated fixture and exceed
+# what a single-node oracle can spill — cap the damage instead of filling
+# the disk. CHECK_TIMEOUT_S interrupts an oracle after N seconds (reported
+# as 'oracle timeout', not a wrong answer); CHECK_SKIP skips entries.
+import threading
+TIMEOUT_S = int(os.environ.get("CHECK_TIMEOUT_S", "0") or "0")
+SKIP = {s.strip() for s in os.environ.get("CHECK_SKIP", "").split(",") if s.strip()}
+try:
+    con.execute("SET max_temp_directory_size='10GiB'")
+    con.execute("SET memory_limit='24GiB'")
+except Exception:
+    pass
+
+def run_oracle(sql):
+    """Execute with optional interrupt-after-timeout."""
+    if not TIMEOUT_S:
+        return con.execute(sql).df()
+    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def kindsig(df):
@@ -62,6 +88,9 @@ spark_names = sorted(
     d for d in os.listdir(outdir)
     if os.path.isdir(os.path.join(outdir, d)))
 for name in spark_names:
+    if name in SKIP:
+        print(f"  {name:28s} SKIPPED (CHECK_SKIP)")
+        continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         fails.append((name, "no spark output parquet"))
@@ -77,8 +106,16 @@ for name in spark_names:
         print(f"  {name:28s} {'OK' if ok else 'FAIL'} ({len(sdf)} rows, {status})")
         continue
     try:
-        odf = con.execute(oracle[name]).df()
+        odf = run_oracle(oracle[name])
+    except duckdb.InterruptException:
+        print(f"  {name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S}s single-node; "
+              "spark output present, not compared)")
+        continue
     except Exception as e:
+        if "INTERRUPT" in str(e).upper():
+            print(f"  {name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S}s single-node; "
+                  "spark output present, not compared)")
+            continue
         fails.append((name, f"oracle SQL error: {e}"))
         continue
     scols, srows = canon(sdf)
