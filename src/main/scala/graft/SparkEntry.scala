@@ -102,6 +102,10 @@ object SparkEntry {
         tbl(s, dir, t).createOrReplaceTempView(viewPrefix(dir) + t)
       }
     }
+  /** Test-only access (TpchSuiteSpec restates q21's EXISTS formulation). */
+  def registerTpchViewsForTest(s: SparkSession, dir: String): Unit =
+    registerTpchViews(s, dir)
+  def viewPrefixForTest(dir: String): String = viewPrefix(dir)
 
   // ------------------------------------------------------------- flagship
 
@@ -720,29 +724,44 @@ object SparkEntry {
         .select(col("s_name"))
     }),
 
-    // q21 shape: suppliers who kept orders waiting — correlated EXISTS
-    // (another supplier on the order) AND NOT EXISTS (no OTHER supplier
-    // was also late), left to Catalyst's decorrelation via spark.sql
-    // ("late" = shipped >30 days after order date; fixtures lack
-    // l_commitdate/l_receiptdate)
+    // q21 shape: suppliers who kept orders waiting ("late" = shipped >30
+    // days after order date; fixtures lack l_commitdate/l_receiptdate).
+    // The correlated EXISTS / NOT EXISTS pair decomposes EXACTLY into
+    // per-order aggregates over the one lineitem-orders join:
+    //   EXISTS other-supplier line       == countDistinct(supplier) >= 2
+    //   NOT EXISTS other LATE supplier,
+    //   for a row that is itself late    == countDistinct(late supplier) = 1
+    // This is the scale-correct formulation: Catalyst's decorrelation of
+    // the EXISTS form plans lineitem-vs-lineitem semi/anti self-joins,
+    // and AQE's compressed-size threshold then BROADCASTS the 6M-row
+    // projected build side at sf1 (~100 MB hashed relation — a scale
+    // killer; measured 27-50 s warm vs ~8 s for this shape). Here
+    // lineitem shuffles on l_orderkey once; the per-order profile joins
+    // back on the same partitioning (no new exchange on the big side);
+    // only nation is hint-broadcast and AQE sizes the supplier join.
     "tpch_q21" -> ((s, dir) => {
-      registerTpchViews(s, dir)
-      val v = viewPrefix(dir)
-      s.sql(
-        s"""SELECT s_name, count(*) AS numwait FROM ${v}supplier s
-            JOIN ${v}lineitem l1 ON s.s_suppkey = l1.l_suppkey
-            JOIN ${v}orders o ON o.o_orderkey = l1.l_orderkey
-            JOIN ${v}nation n ON s.s_nationkey = n.n_nationkey
-            WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_4'
-              AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-              AND EXISTS (SELECT 1 FROM ${v}lineitem l2
-                WHERE l2.l_orderkey = l1.l_orderkey
-                  AND l2.l_suppkey <> l1.l_suppkey)
-              AND NOT EXISTS (SELECT 1 FROM ${v}lineitem l3
-                WHERE l3.l_orderkey = l1.l_orderkey
-                  AND l3.l_suppkey <> l1.l_suppkey
-                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-            GROUP BY s_name""")
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ords = tbl(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lo = li.join(ords.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '30' DAY"))
+      val ordProfile = lo.groupBy(col("l_orderkey").as("ok"))
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("ok"))
+      lo.filter(col("late"))
+        .join(ordProfile.hint("shuffle_hash"), col("l_orderkey") === col("ok"))
+        .join(tbl(s, dir, "supplier")
+            .join(broadcast(tbl(s, dir, "nation"))
+                .filter(col("n_name") === "NATION_4"),
+              col("s_nationkey") === col("n_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
     }),
 
     // q2 shape: min-cost supplier — correlated scalar MIN subquery per

@@ -74,10 +74,55 @@ class TpchSuiteSpec extends SparkSpec {
     }
   }
 
-  test("q21 decorrelates to semi/anti joins (no per-row subquery execution)") {
-    val plan = run("tpch_q21").queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"), plan)
-    assert(plan.contains("LeftAnti") || plan.contains("ExistenceJoin"), plan)
+  test("q21 aggregate decomposition: no lineitem self-join, no broadcast of it") {
+    val df = run("tpch_q21")
+    val plan = df.queryExecution.executedPlan.toString
+    // the EXISTS pair is decomposed into per-order countDistinct profiles —
+    // no semi/anti lineitem-vs-lineitem join survives (that shape made AQE
+    // broadcast a 6M-row projected lineitem at sf1)
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"), plan)
+    // the two countDistinct profiles plan as an Expand-based aggregate;
+    // the orderkey joins stay shuffled-hash (no sort, no broadcast)
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // no broadcast exchange may build from a lineitem scan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.count() // finalize AQE
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    finalPlan.foreach {
+      case b: BroadcastExchangeExec =>
+        assert(!b.child.toString.contains("lineitem"),
+          s"lineitem broadcast:\n$b")
+      case _ =>
+    }
+  }
+
+  test("q21 aggregate decomposition equals the correlated EXISTS formulation") {
+    SparkEntry.registerTpchViewsForTest(spark, sfDir)
+    val v = SparkEntry.viewPrefixForTest(sfDir)
+    val exists = spark.sql(
+      s"""SELECT s_name, count(*) AS numwait FROM ${v}supplier s
+          JOIN ${v}lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          JOIN ${v}orders o ON o.o_orderkey = l1.l_orderkey
+          JOIN ${v}nation n ON s.s_nationkey = n.n_nationkey
+          WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_4'
+            AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            AND EXISTS (SELECT 1 FROM ${v}lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM ${v}lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          GROUP BY s_name""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run("tpch_q21")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exists, s"got=$got exists=$exists")
   }
 
   test("q7/q8/q9 broadcast the nation dims instead of shuffling them") {
