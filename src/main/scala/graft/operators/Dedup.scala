@@ -297,15 +297,21 @@ object Dedup {
             b => xxhash64(concat_ws("_",
               slice(g, b * rowsPerBand + 1, lit(rowsPerBand))), b)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // shuffle_hash throughout: the banded self-join and both verify
+    // joins are equal-width keyed shuffles where SMJ's per-partition
+    // sorts (candidate rows + 50k-element signature arrays) are pure
+    // overhead — the build side is always one hash partition of the
+    // banded/signature table, never a whole relation.
     val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
     val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
-    candidates.join(aSh, "a_id").join(bSh, "b_id")
+    candidates.join(aSh.hint("shuffle_hash"), "a_id")
+      .join(bSh.hint("shuffle_hash"), "b_id")
       .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
