@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   * residue: it trips when any query's best warm time exceeds 1.5x its
   * cold time (no plan property can produce that — warm re-runs reuse JIT,
   * shuffle files and page cache) or when a query's warm passes disagree
-  * by more than 3x among themselves. All three warm passes are emitted
-  * ("warm_passes") so a flagged run can be audited after the fact.
+  * by more than 3x among themselves. All three warm passes are written to
+  * target/bench_detail.json so a flagged run can be audited after the
+  * fact (stdout carries only the compact line — the driver's output-tail
+  * capture truncated the inline detail in earlier rounds).
   *
   * Measurement hygiene (round-6 lesson): the relational group is warmed
   * and measured COMPLETELY before any pipeline query runs, because the
@@ -136,7 +138,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = warmBest.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(
+    val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},"cold_sec":${fmt(cold)},""" +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
@@ -144,10 +146,14 @@ object Bench {
       s""""contended":${suspects.nonEmpty},""" +
       s""""contention_detail":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""cold_note":"first timed pass after untimed warmup; OS/page caches warm",""" +
-      s""""sf":"$sfDir"}""")
-    // Compact summary printed LAST: the detail line above can exceed the
-    // driver's output-tail capture window (BENCH_r08 came back
-    // unparseable); any tail window catches this one.
+      s""""sf":"$sfDir"}"""
+    // Full per-pass detail goes to a FILE: the driver's output-tail
+    // capture truncated it mid-JSON in BENCH_r08/r10, losing the warm
+    // passes to the artifact. The file survives; stdout stays compact.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_detail.json"), detail + "\n")
+    // Compact summary is the ONLY stdout JSON line — any tail window
+    // catches it whole.
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},""" +

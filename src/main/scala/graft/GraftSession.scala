@@ -27,6 +27,13 @@ object GraftSession {
       // naive-timestamp view of the same files.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // The fixture tables are single ~5-40 MB parquet files; the 128 MB
+      // default puts each whole table in ONE scan task, serializing the
+      // decode while 31 cores idle. 8 MB recovers intra-file parallelism
+      // (the files are written with small row groups). At real cluster
+      // scale tables are many >=128 MB files and the default is right —
+      // this is a local-fixture setting, not a scale recommendation.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")

@@ -727,7 +727,7 @@ object SparkEntry {
     // q21 shape: suppliers who kept orders waiting ("late" = shipped >30
     // days after order date; fixtures lack l_commitdate/l_receiptdate).
     // The correlated EXISTS / NOT EXISTS pair decomposes EXACTLY into
-    // per-order aggregates over the one lineitem-orders join:
+    // per-order profiles over the one lineitem-orders join:
     //   EXISTS other-supplier line       == countDistinct(supplier) >= 2
     //   NOT EXISTS other LATE supplier,
     //   for a row that is itself late    == countDistinct(late supplier) = 1
@@ -735,10 +735,23 @@ object SparkEntry {
     // the EXISTS form plans lineitem-vs-lineitem semi/anti self-joins,
     // and AQE's compressed-size threshold then BROADCASTS the 6M-row
     // projected build side at sf1 (~100 MB hashed relation — a scale
-    // killer; measured 27-50 s warm vs ~8 s for this shape). Here
-    // lineitem shuffles on l_orderkey once; the per-order profile joins
-    // back on the same partitioning (no new exchange on the big side);
-    // only nation is hint-broadcast and AQE sizes the supplier join.
+    // killer; measured 27-50 s warm vs ~8 s for a decomposed shape).
+    // The profiles fold into a TWO-LEVEL hash aggregate over the one
+    // lineitem-orders join — no self-join, no window sort: lo is
+    // hash-partitioned on l_orderkey by the join, and HashPartitioning
+    // on a SUBSET of the grouping keys satisfies ClusteredDistribution,
+    // so groupBy(l_orderkey, l_suppkey) and then groupBy(l_orderkey)
+    // both run exchange-free on the join's partitioning. A qualifying
+    // order (>=2 suppliers, exactly 1 late) identifies its unique late
+    // supplier and carries that supplier's late-row count, so no join
+    // back to lineitem is needed at all — lineitem and orders are
+    // scanned and shuffled ONCE (the old aggregate-join-back shape
+    // built the whole lo subtree twice; its branches' differing
+    // pushdown filters kept ReuseExchange from deduping them.
+    // PlanAuditSpec pins the single-scan property). The per-order
+    // result is tiny (~|orders| rows pre-filter), so the supplier side
+    // join is hint-broadcast (the one-nation subset, |supplier|/25 —
+    // the canonical q21 broadcast side).
     "tpch_q21" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
@@ -749,19 +762,22 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '30' DAY"))
-      val ordProfile = lo.groupBy(col("l_orderkey").as("ok"))
-        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
-          count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val perOS = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("late_rows"))
+      val prof = perOS.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("any_late"), 1)).as("n_late_supp"),
+          max(when(col("any_late"), col("l_suppkey"))).as("late_supp"),
+          sum(when(col("any_late"), col("late_rows"))).as("late_row_cnt"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .select(col("ok"))
-      lo.filter(col("late"))
-        .join(ordProfile.hint("shuffle_hash"), col("l_orderkey") === col("ok"))
-        .join(tbl(s, dir, "supplier")
+      prof.join(broadcast(tbl(s, dir, "supplier")
             .join(broadcast(tbl(s, dir, "nation"))
                 .filter(col("n_name") === "NATION_4"),
-              col("s_nationkey") === col("n_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+              col("s_nationkey") === col("n_nationkey"))),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_row_cnt")).cast(LongType).as("numwait"))
     }),
 
     // q2 shape: min-cost supplier — correlated scalar MIN subquery per

@@ -23,6 +23,15 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      } else {
+        // Remove any stale output from an earlier full run into the same
+        // outDir: a leftover dir with the entry filtered out of
+        // oracle_sql.json would read as a passing rows-only check.
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(): Unit
+        }
+        rmRec(new java.io.File(s"$outDir/$name"))
+        System.err.println(s"[verify] $name SKIPPED (GRAFT_VERIFY_SKIP)")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -54,8 +54,16 @@ object MakeSfN {
         }
       }
       val tmp = s"$outDir/_tmp_$name"
+      // 2 MB row groups: a coalesce(1) file otherwise lands as ONE row
+      // group (6M rows for sf1 lineitem), and a single row group is an
+      // unsplittable scan — every sf1 query would decode the whole table
+      // on one core. Real corpora have many files/row groups; small
+      // groups restore the intra-file parallelism both engines (Spark
+      // splits by range, DuckDB by row group) would have at real scale.
       df.coalesce(1).write.mode("overwrite")
-        .option("compression", "zstd").parquet(tmp)
+        .option("compression", "zstd")
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val dst = java.nio.file.Paths.get(s"$outDir/$name.parquet")

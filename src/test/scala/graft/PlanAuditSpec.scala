@@ -395,6 +395,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q21 scans lineitem and orders exactly once (single-pass profile)") {
+    // the EXISTS/NOT-EXISTS decomposition folds into a two-level hash
+    // aggregate over ONE lineitem-orders join; the old aggregate-join-back
+    // shape built the whole join subtree twice and its branches' differing
+    // pushdown filters kept ReuseExchange from deduping them
+    // static physical plan: at sf0.001 the result is empty and AQE
+    // collapses the executed plan to EmptyRelation, hiding the scans
+    val plan = SparkEntry.queries("tpch_q21")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    for (t <- Seq("lineitem", "orders")) {
+      val scans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains(s"$t.parquet"))
+      assert(scans == 1, s"$t scanned $scans times:\n$plan")
+    }
+    // and the per-order profile aggregates run on the join's partitioning:
+    // the only hash exchanges are the two join inputs plus the final
+    // s_name aggregation
+    val exch = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.size <= 3, s"expected <=3 shuffles:\n${exch.mkString("\n")}")
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),

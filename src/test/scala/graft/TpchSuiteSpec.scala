@@ -81,9 +81,10 @@ class TpchSuiteSpec extends SparkSpec {
     // no semi/anti lineitem-vs-lineitem join survives (that shape made AQE
     // broadcast a 6M-row projected lineitem at sf1)
     assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"), plan)
-    // the two countDistinct profiles plan as an Expand-based aggregate;
-    // the orderkey joins stay shuffled-hash (no sort, no broadcast)
-    assert(plan.contains("Expand"), plan)
+    // the profiles fold into a two-level hash aggregate on the join's
+    // partitioning — no Expand-based distinct aggregate, no window sort,
+    // and the one orderkey join stays shuffled-hash (no sort-merge)
+    assert(!plan.contains("Expand"), plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
     // no broadcast exchange may build from a lineitem scan
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

@@ -35,16 +35,51 @@ try:
 except Exception:
     pass
 
+# Resolve the interrupt exception class defensively once: older duckdb
+# builds lack the attribute, and `except duckdb.InterruptException` is
+# evaluated at handling time — the handler itself would raise
+# AttributeError and mask the real error. () never matches.
+INTERRUPT_EXC = getattr(duckdb, "InterruptException", ())
+
+
+class OracleTimeout(Exception):
+    pass
+
+
 def run_oracle(sql):
-    """Execute with optional interrupt-after-timeout."""
+    """Execute with optional interrupt-after-timeout.
+
+    The timer callback sets a flag before interrupting; an interrupt
+    error is only treated as a timeout when the flag is set. Without the
+    flag there is a race: a query completing just as the timer fires
+    leaves con.interrupt() to cancel the NEXT oracle, mis-reporting a
+    healthy entry as timed out — in that case retry the query once."""
     if not TIMEOUT_S:
         return con.execute(sql).df()
-    timer = threading.Timer(TIMEOUT_S, con.interrupt)
-    timer.start()
-    try:
-        return con.execute(sql).df()
-    finally:
-        timer.cancel()
+    for attempt in (1, 2):
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(TIMEOUT_S, _interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).df()
+        except INTERRUPT_EXC:
+            if fired.is_set():
+                raise OracleTimeout()
+            continue  # stray interrupt from a previous query's timer
+        except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                if fired.is_set():
+                    raise OracleTimeout()
+                continue
+            raise
+        finally:
+            timer.cancel()
+    raise OracleTimeout()  # interrupted twice without our timer firing
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -107,15 +142,11 @@ for name in spark_names:
         continue
     try:
         odf = run_oracle(oracle[name])
-    except duckdb.InterruptException:
+    except OracleTimeout:
         print(f"  {name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S}s single-node; "
               "spark output present, not compared)")
         continue
     except Exception as e:
-        if "INTERRUPT" in str(e).upper():
-            print(f"  {name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S}s single-node; "
-                  "spark output present, not compared)")
-            continue
         fails.append((name, f"oracle SQL error: {e}"))
         continue
     scols, srows = canon(sdf)
