@@ -75,58 +75,62 @@ object Dedup {
     * The naive formulation (build + md5 the w-token string at every
     * position) is O(corpus tokens x w) STRING work inside an
     * interpreted HOF — measured ~1.3 s at sf0.1 with the enumeration,
-    * not the crypto hash, as the dominant cost. This implementation
-    * makes the enumeration O(corpus tokens) of codegen'd long math:
-    *  1. hash each token once, posexplode to (doc_id, pos, h) long
-    *     rows, and compute each position's window key from a sliding
-    *     SUM window function plus the first/last token hashes (order
-    *     sensitivity) — whole-stage-codegen'd, no strings anywhere;
-    *  2. groupBy(key) keeps keys seen in >1 doc (min != max);
+    * not the crypto hash, as the dominant cost. This implementation is
+    * SINGLE-PASS over the exploded positions:
+    *  1. hash each token once, then compute each position's window key
+    *     entirely in the ARRAY domain as long math over 4 sampled
+    *     token hashes (start, ~w/3, ~2w/3, end) — no per-token
+    *     shuffle, no per-doc window sort (the earlier sliding-SUM key
+    *     needed a full 3-longs-per-token exchange + sort by doc just
+    *     to run the window function, then a localCheckpoint because
+    *     the keyed rows fed two consumers);
+    *  2. ONE shuffle on the key: groupBy(k) collects the (doc, pos)
+    *     list AND the doc min/max in the same aggregate, so the
+    *     multi-doc filter and the surviving positions come out of a
+    *     single exchange — no join back onto the keyed rows;
     *  3. only SURVIVING positions (tiny, by the rare-dup contract) join
     *     back to the token arrays to build the window string and its
     *     portable md5 output fingerprint.
     * A key collision can only ADD a candidate (the final md5 groupBy +
-    * n_docs filter discards it); equal windows always collide, so the
-    * output is identical to the naive formulation — which is exactly
-    * what the DuckDB oracle states. */
+    * n_docs filter discards it); equal windows always collide (equal
+    * windows have equal sampled hashes), so the output is identical to
+    * the naive formulation — which is exactly what the DuckDB oracle
+    * states. 4 sampled 31-bit hashes give ~124 bits of discrimination,
+    * so false candidates stay negligible. */
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Staging.bound
+    // repartition the RAW docs (tiny text rows) so the heavy per-token
+    // hashing below runs on all cores even though the corpus parquet is
+    // one small file — this is the only full-corpus text movement
     val toks = df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("t"))
       .filter(size(col("t")) >= w)
-    // (doc_id, pos, h): one O(1) row per corpus token, h < 2^31 so all
-    // window arithmetic below stays inside ANSI long bounds
-    val ex = toks.select(col("doc_id"),
-        posexplode(bound(col("t"))(t =>
-          transform(t, x => pmod(xxhash64(x), lit(MersenneP))))))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wSum = wOrd.rowsBetween(Window.currentRow, w - 1)
-    // key = (sum of the w hashes) * A + first * B + last: sum < 2^35,
-    // * A < 2^56 — order-sensitive enough that false collisions are
-    // rare, and false collisions are verified away anyway
-    // consumed by BOTH the hot-key aggregate and the survivor join —
-    // localCheckpoint materializes the (3 longs)-per-token rows once
-    // (executor-local blocks, freed on GC) instead of re-running the
-    // tokenize + explode + window twice
-    val keyed = ex
-      .withColumn("ws", sum(col("h")).over(wSum))
-      .withColumn("le", lead(col("h"), w - 1).over(wOrd))
-      .filter(col("le").isNotNull) // incomplete trailing windows
-      .select(col("doc_id"), col("pos"),
-        (col("ws") * lit(1000003L) + col("h") * lit(131L) + col("le"))
-          .as("k"))
-      .localCheckpoint(false)
-    val hot = keyed.groupBy(col("k"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .repartition()
+    // sampled window-key offsets (1-based element_at positions i..i+w-1)
+    val o1 = (w - 1) / 3
+    val o2 = 2 * (w - 1) / 3
+    val o3 = w - 1
+    // h < 2^31 and the coefficient sum < 2^21, so k < 2^52 — inside
+    // ANSI long bounds
+    val keyed = toks
+      .select(col("doc_id"), bound(col("t"))(t =>
+        transform(t, x => pmod(xxhash64(x), lit(MersenneP)))).as("hs"))
+      .select(col("doc_id"), posexplode(bound(col("hs"))(hs =>
+        transform(sequence(lit(1), size(hs) - lit(w - 1)), i =>
+          element_at(hs, i) * lit(1000003L) +
+            element_at(hs, i + o1) * lit(524287L) +
+            element_at(hs, i + o2) * lit(8191L) +
+            element_at(hs, i + o3) * lit(131L)))))
+      .withColumnRenamed("col", "k")
+    // the single keyed shuffle: doc min/max (multi-doc filter) and the
+    // position list ride the same exchange
+    val surv = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
       .filter(col("mn") =!= col("mx"))
-      .select(col("k"))
-    // shuffle_hash: hot leaves its aggregation already partitioned by k,
-    // so only keyed re-shuffles; hashing the hot side skips SMJ sorts
-    val surv = keyed.join(hot.hint("shuffle_hash"), Seq("k"))
-      .select(col("doc_id"), col("pos"))
+      .select(explode(col("ps")).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.pos").as("pos"))
     // positions grouped per doc so the final pass re-tokenizes ONLY the
     // surviving documents (the corpus-wide branch above never builds a
     // string); the token array rides the tiny per-survivor explode only
