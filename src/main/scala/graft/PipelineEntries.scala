@@ -537,11 +537,12 @@ object PipelineEntries {
 
     // scale path: banded portable sign-LSH candidates + exact cosine
     // verify (one (band, bucket) shuffle instead of a crossJoin); the
-    // oracle replays the identical banded contract, and PipelineSpec
-    // pins recall against the exact baseline
+    // oracle replays the identical banded contract (including the
+    // corpus-size-derived band width), and PipelineSpec pins recall
+    // against the exact baseline
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.lshCosinePairs(embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45, bands = 16, planesPerBand = 4)),
+        threshold = 0.45, bands = 16)),
 
     // SEMANTIC dedup end to end: connected components over the banded
     // embedding-LSH pair table — keep one representative per cluster of
@@ -552,7 +553,7 @@ object PipelineEntries {
     "dedup_embedding_clusters" -> ((s, dir) =>
       Dedup.clusters(
         Similarity.lshCosinePairs(embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, bands = 16, planesPerBand = 4))),
+          threshold = 0.45, bands = 16))),
 
     // duplicate-cluster resolution over exact near-dup pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -2375,19 +2376,32 @@ object PipelineEntries {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.45""",
 
-    // banded sign-LSH near-dup restated: plane (band*4 + p) component =
-    // portable md5-56 of "plane_dim" in [-1, 1); band bucket = 4 sign
-    // bits; candidates share some (band, bucket); exact cosine >= 0.45
+    // banded sign-LSH near-dup restated: plane (band*ppb + p) component
+    // = portable md5-56 of "plane_dim" in [-1, 1); band bucket = ppb
+    // sign bits where ppb is the corpus-size-derived band width
+    // (smallest p in [4,16] with N <= 128*2^p — the same integer
+    // piecewise as Similarity.planesForCorpus); candidates share some
+    // (band, bucket); exact cosine >= 0.45
     "dedup_embedding_lsh" ->
-      """WITH bits AS (
-           SELECT vec_id, CAST(pl // 4 AS BIGINT) AS band,
+      """WITH params AS (
+           SELECT (CASE WHEN n <= 2048 THEN 4 WHEN n <= 4096 THEN 5
+             WHEN n <= 8192 THEN 6 WHEN n <= 16384 THEN 7
+             WHEN n <= 32768 THEN 8 WHEN n <= 65536 THEN 9
+             WHEN n <= 131072 THEN 10 WHEN n <= 262144 THEN 11
+             WHEN n <= 524288 THEN 12 WHEN n <= 1048576 THEN 13
+             WHEN n <= 2097152 THEN 14 WHEN n <= 4194304 THEN 15
+             ELSE 16 END) AS ppb
+           FROM (SELECT count(*) AS n FROM embeddings)),
+         bits AS (
+           SELECT vec_id, CAST(pl // ppb AS BIGINT) AS band,
              CASE WHEN list_sum(list_transform(embedding, (v, i) ->
                  CAST(v AS DOUBLE) *
                    (('0x' || substr(md5(CAST(pl AS VARCHAR) || '_' ||
                      CAST(i - 1 AS VARCHAR)), 1, 14))::BIGINT
                     / 36028797018963968.0 - 1.0))) >= 0
-               THEN (1::BIGINT << CAST(pl % 4 AS INT)) ELSE 0::BIGINT END AS bit
-           FROM embeddings, range(64) t(pl)),
+               THEN (1::BIGINT << CAST(pl % ppb AS INT)) ELSE 0::BIGINT END AS bit
+           FROM embeddings, params,
+             (SELECT unnest(range(0, 16 * ppb)) AS pl FROM params) t),
          bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
                 FROM bits GROUP BY 1, 2),
          cand AS (
@@ -2406,15 +2420,25 @@ object PipelineEntries {
     // the embedding-LSH banded contract + recursive closure, exactly
     // like dedup_clusters' oracle over the text pair table
     "dedup_embedding_clusters" ->
-      """WITH RECURSIVE bits AS (
-           SELECT vec_id, CAST(pl // 4 AS BIGINT) AS band,
+      """WITH RECURSIVE params AS (
+           SELECT (CASE WHEN n <= 2048 THEN 4 WHEN n <= 4096 THEN 5
+             WHEN n <= 8192 THEN 6 WHEN n <= 16384 THEN 7
+             WHEN n <= 32768 THEN 8 WHEN n <= 65536 THEN 9
+             WHEN n <= 131072 THEN 10 WHEN n <= 262144 THEN 11
+             WHEN n <= 524288 THEN 12 WHEN n <= 1048576 THEN 13
+             WHEN n <= 2097152 THEN 14 WHEN n <= 4194304 THEN 15
+             ELSE 16 END) AS ppb
+           FROM (SELECT count(*) AS n FROM embeddings)),
+         bits AS (
+           SELECT vec_id, CAST(pl // ppb AS BIGINT) AS band,
              CASE WHEN list_sum(list_transform(embedding, (v, i) ->
                  CAST(v AS DOUBLE) *
                    (('0x' || substr(md5(CAST(pl AS VARCHAR) || '_' ||
                      CAST(i - 1 AS VARCHAR)), 1, 14))::BIGINT
                     / 36028797018963968.0 - 1.0))) >= 0
-               THEN (1::BIGINT << CAST(pl % 4 AS INT)) ELSE 0::BIGINT END AS bit
-           FROM embeddings, range(64) t(pl)),
+               THEN (1::BIGINT << CAST(pl % ppb AS INT)) ELSE 0::BIGINT END AS bit
+           FROM embeddings, params,
+             (SELECT unnest(range(0, 16 * ppb)) AS pl FROM params) t),
          bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
                 FROM bits GROUP BY 1, 2),
          cand AS (

@@ -139,16 +139,26 @@ object Similarity {
     * (at cos >= 0.9, 8-bit bands reject >95% of random pairs); at a low
     * threshold like 0.45 on isotropic vectors the prune is mild and
     * recall at the boundary is ~1-(1-(1-acos(t)/pi)^p)^b (~0.96 for
-    * 16x4). Both knobs are part of the stated contract. */
+    * 16x4). Both knobs are part of the stated contract.
+    *
+    * `planesPerBand = 0` (the default) DERIVES the band width from the
+    * corpus size via [[planesForCorpus]] — a fixed width degenerates
+    * toward all-pairs as the corpus grows (2^p buckets per band must
+    * track N), which is exactly what a fixed 4 did at 20k vectors. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 16,
-                     planesPerBand: Int = 4): DataFrame = {
+                     planesPerBand: Int = 0): DataFrame = {
     val dim = dimOf(df, vecCol)
+    val ppb = if (planesPerBand > 0) planesPerBand
+              else planesForCorpus(df.count())
+    // repartition the raw vectors: the corpus parquet is one small file
+    // (one scan task), and the bands*ppb*dim interpreted dot products
+    // below are the dominant cost — they must run on all cores
     val v = df.select(col(idCol).as("id"),
-      requireDim(col(vecCol), dim).as("v"))
+      requireDim(col(vecCol), dim).as("v")).repartition()
     val bandBuckets = array((0 until bands).map { b =>
-      (0 until planesPerBand).map { p =>
-        val plane = b * planesPerBand + p
+      (0 until ppb).map { p =>
+        val plane = b * ppb + p
         when(planeDot(col("v"), plane, dim) >= 0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce[Column]((a, c) => a.bitwiseOR(c))
@@ -159,11 +169,6 @@ object Similarity {
     // so AQE would coalesce the pre-join exchange to ONE partition and
     // the quadratic in-bucket pair expansion — the actual work — would
     // run single-threaded. A hard repartition keeps the expansion wide.
-    // NOTE on parameters: bands x planesPerBand is a FIXTURE choice;
-    // 2^planesPerBand buckets per band must grow with the corpus
-    // (planes ~ log2(N / targetBucketSize)) or in-bucket expansion
-    // degenerates toward all-pairs — at 10x this corpus, re-derive the
-    // planes (and the oracle restatement) rather than reusing 4 bits.
     val parts = math.max(v.sparkSession.sparkContext.defaultParallelism, 32)
     val bandedW = banded.repartition(parts, col("band"), col("bucket"))
     val cand = bandedW.select(col("band"), col("bucket"), col("id").as("a_id"))
@@ -178,6 +183,21 @@ object Similarity {
       .withColumn("cosine", cosine(col("a_v"), col("b_v")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Band width (sign bits per band) for a corpus of `n` vectors: the
+    * smallest p in [4, 16] with n <= 128 * 2^p, i.e. ~128 vectors per
+    * band bucket in expectation. Integer-exact piecewise (no float log)
+    * so the DuckDB oracle restates the identical derivation as a CASE
+    * chain — any float-log boundary (N/128 an exact power of two) would
+    * risk the two engines deriving different widths. 4 at <= 2048
+    * vectors (the sf0.001-0.1 fixtures — outputs unchanged there), 8 at
+    * the 20k-vector sf1 fixture where a fixed 4 degenerated toward
+    * all-pairs. */
+  def planesForCorpus(n: Long): Int = {
+    var p = 4
+    while (p < 16 && n > (128L << p)) p += 1
+    p
   }
 
   // ------------------------------------------------------------ IVF ANN
