@@ -195,12 +195,22 @@ object Dedup {
     * laptop or 100 TB on a cluster — it must be paid once, not once per
     * operator. Long equality also beats UTF8 compares ~10x during
     * verification and keeps every downstream shuffle row O(1)-sized;
-    * 2^-64 collision odds are irrelevant at any corpus size. */
+    * 2^-64 collision odds are irrelevant at any corpus size.
+    *
+    * Also carries `g` = md5 of the raw text — the exact-replica digest,
+    * computed in this same once-per-corpus scan so downstream operators
+    * ([[minhashPairsFromSigs]]'s replica pre-pass) can group exact
+    * copies without re-reading text. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame = {
     import graft.functions.Staging.bound
-    shingleDf(df, idCol, textCol, n).select(col("id"),
-      bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"),
+        md5(to_binary(col(textCol), lit("utf-8"))).as("g"))
+      .select(col("id"), shingleOf(col("__t"), n).as("sh"), col("g"))
+      .select(col("id"),
+        bound(col("sh"))(s => transform(s, x => xxhash64(x))).as("hs"),
+        col("g"))
   }
 
   /** Distinct character n-gram shingles of lowercased text. */
@@ -267,59 +277,137 @@ object Dedup {
                            stage: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val numBands = numHashes / rowsPerBand
-    // signature via the RELATIONAL formulation: explode the hash set and
-    // take `numHashes` codegen'd MIN aggregates per doc, then repack the
-    // array. Whole-stage codegen beats the interpreted
-    // aggregate-inside-transform HOF by ~3x, and the map-side partial
-    // mins keep the shuffle at one row per doc.
-    // the hs shingle array is NOT carried through the explode or the
-    // banding: per-element/per-band row copies would duplicate the array
-    // ~|shingles|+|bands| times through the min-agg and bucket shuffles
-    // (measured ~20% slower at sf0.1; far worse once the duplication
-    // crosses real network shuffles). Verification joins the signature
-    // table back by id instead — the same shape blocked jaccard uses.
-    val exploded = hs.select(col("id"), explode(col("hs")).as("h0"))
-      .withColumn("hp", pmod(col("h0"), lit(MersenneP)))
-    val minCols = (0 until numHashes).map { i =>
-      min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
-        lit(MersenneP))).as(s"m$i")
+    // ---- exact pre-pass ------------------------------------------------
+    // Docs with IDENTICAL shingle sets (in particular exact text
+    // replicas) share signatures, band buckets, and every pairwise
+    // jaccard (= 1.0 exactly), so the quadratic banding + verify below
+    // runs on ONE representative per set; the pair table expands back
+    // relationally afterwards. Replica-heavy corpora — every real crawl,
+    // and the sf1 stress fixture with 10 exact copies of each doc —
+    // otherwise push every replica pair through every band and the
+    // signature verify join. The digest is internal only (the pair
+    // OUTPUT is unchanged, so the DuckDB oracle restatement is
+    // unchanged), and GROUPING IS CONSERVATIVE: an ungrouped pair of
+    // set-identical docs still falls out of banding + verify with the
+    // same jaccard, so any digest that implies set equality is correct.
+    // [[signatures]] tables carry the md5-of-text `g` from the
+    // once-per-corpus scan; a bare (id, hs) input derives a sorted-set
+    // digest here instead.
+    val withG =
+      if (hs.columns.contains("g")) hs
+      else pooledPersist(hs.select(col("id"), col("hs"),
+        md5(to_binary(concat_ws(",", bound(col("hs"))(h =>
+            transform(array_sort(h), x => x.cast(StringType)))),
+          lit("utf-8"))).as("g")))
+
+    /** Banding + exact-jaccard verification over `sigs` (id, hs).
+      * Signature via the RELATIONAL formulation: explode the hash set
+      * and take `numHashes` codegen'd MIN aggregates per doc, then
+      * repack the array. Whole-stage codegen beats the interpreted
+      * aggregate-inside-transform HOF by ~3x, and the map-side partial
+      * mins keep the shuffle at one row per doc. The hs shingle array
+      * is NOT carried through the explode or the banding:
+      * per-element/per-band row copies would duplicate the array
+      * ~|shingles|+|bands| times through the min-agg and bucket
+      * shuffles (measured ~20% slower at sf0.1; far worse once the
+      * duplication crosses real network shuffles). Verification joins
+      * the signature table back by id instead — the same shape blocked
+      * jaccard uses. shuffle_hash throughout: the banded self-join and
+      * both verify joins are equal-width keyed shuffles where SMJ's
+      * per-partition sorts are pure overhead. */
+    def bandedVerify(sigs: DataFrame): DataFrame = {
+      val exploded = sigs.select(col("id"), explode(col("hs")).as("h0"))
+        .withColumn("hp", pmod(col("h0"), lit(MersenneP)))
+      val minCols = (0 until numHashes).map { i =>
+        min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
+          lit(MersenneP))).as(s"m$i")
+      }
+      // pooled persist, not `staged`: BOTH sides of the banded self-join
+      // below consume the signature table, and AQE does not reuse the
+      // exchange (same lesson as the blocked-jaccard candidate stage) —
+      // without it the 32-min-aggregate groupBy runs twice per query.
+      // One row per doc: trivial to cache at any corpus size.
+      val withSig = pooledPersist(staged(exploded
+        .groupBy(col("id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")),
+        stage))
+      val banded = withSig.select(
+          col("id"),
+          posexplode(bound(col("sig"))(g =>
+            transform(sequence(lit(0), lit(numBands - 1)),
+              b => xxhash64(concat_ws("_",
+                slice(g, b * rowsPerBand + 1, lit(rowsPerBand))), b)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
+      val candidates = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val aSh = sigs.select(col("id").as("a_id"), col("hs").as("a_sh"))
+      val bSh = sigs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+      candidates.join(aSh.hint("shuffle_hash"), "a_id")
+        .join(bSh.hint("shuffle_hash"), "b_id")
+        .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
+          col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
     }
-    // pooled persist, not `staged`: BOTH sides of the banded self-join
-    // below consume the signature table, and AQE does not reuse the
-    // exchange (same lesson as the blocked-jaccard candidate stage) —
-    // without it the 32-min-aggregate groupBy runs twice per query.
-    // One row per doc: trivial to cache at any corpus size.
-    val withSig = pooledPersist(staged(exploded
-      .groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")), stage))
-    val banded = withSig.select(
-        col("id"),
-        posexplode(bound(col("sig"))(g =>
-          transform(sequence(lit(0), lit(numBands - 1)),
-            b => xxhash64(concat_ws("_",
-              slice(g, b * rowsPerBand + 1, lit(rowsPerBand))), b)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // shuffle_hash throughout: the banded self-join and both verify
-    // joins are equal-width keyed shuffles where SMJ's per-partition
-    // sorts (candidate rows + 50k-element signature arrays) are pure
-    // overhead — the build side is always one hash partition of the
-    // banded/signature table, never a whole relation.
-    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
-    val candidates = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
-    val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
-    candidates.join(aSh.hint("shuffle_hash"), "a_id")
-      .join(bSh.hint("shuffle_hash"), "b_id")
-      .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
-        col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+
+    // ADAPTIVE gate (one 2-number narrow aggregate — the arrays never
+    // ride it): the pre-pass saves quadratic band/verify work
+    // proportional to the replica fraction but costs a fixed few stages
+    // (rep semi-join, expansion joins), so corpora that are mostly
+    // distinct (the sf0.1 fixture: 8 dup groups in 5000 docs) run the
+    // plain banding over the full signature table, and replica-heavy
+    // corpora (real crawls; the sf1 stress fixture at 10x replication)
+    // run it over representatives only.
+    val gateRow = withG
+      .agg(count(lit(1)).cast(DoubleType), count_distinct(col("g"))
+        .cast(DoubleType)).collect()(0)
+    val (total, groups) = (gateRow.getDouble(0), gateRow.getDouble(1))
+    if (groups > 0.8 * total) return bandedVerify(withG)
+
+    // rep selection is a NARROW aggregate (g, id only); persisted so the
+    // semi-join and the expansion reuse one materialization.
+    val rep = pooledPersist(withG.select(col("g"), col("id"))
+      .groupBy(col("g"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("cnt")))
+
+    // the rep signature rows come from a join the tiny rep side
+    // broadcasts into, streamed off the (session-persisted artifact)
+    // signature table. Persisted: the explode and both verify-join
+    // sides of bandedVerify consume repSigs.
+    val repSigs = pooledPersist(
+      withG.select(col("id"), col("hs")).join(rep.select(col("id")), "id"))
+    val repPairs = bandedVerify(repSigs)
+    // ---- expansion back over replica groups ---------------------------
+    // within a group: every pair, jaccard exactly 1.0 (identical sets —
+    // the same value jaccardNative returns for them); across groups:
+    // every member pair inherits the representatives' jaccard. Groups
+    // are disjoint, so the union is duplicate-free, like the original
+    // all-docs banding output.
+    val members = withG.select(col("g"), col("id"))
+    val dupGroups = rep.filter(col("cnt") >= 2).select(col("g"))
+    val internal = members.join(dupGroups.hint("shuffle_hash"), "g")
+      .select(col("g"), col("id").as("xa"))
+      .join(members.select(col("g"), col("id").as("xb")).hint("shuffle_hash"),
+        "g")
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val repG = rep.select(col("id"), col("g"))
+    val cross = repPairs
+      .join(repG.select(col("id").as("a_id"), col("g").as("ga")), "a_id")
+      .join(repG.select(col("id").as("b_id"), col("g").as("gb")), "b_id")
+      .join(members.select(col("g").as("ga"), col("id").as("xa")), "ga")
+      .join(members.select(col("g").as("gb"), col("id").as("xb")), "gb")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
+    internal.unionByName(cross)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */

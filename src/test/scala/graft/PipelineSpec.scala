@@ -31,6 +31,35 @@ class PipelineSpec extends SparkSpec {
     assert(found.size >= (exactPairs.size * 0.9).toInt, s"recall too low: ${found.size}/${exactPairs.size}")
   }
 
+  test("minhash replica pre-pass: replica-heavy corpus matches exact pairs") {
+    // 3 exact copies of every doc (disjoint id ranges) force the
+    // exact-digest pre-pass path (distinct fraction 1/3 < 0.8): banding
+    // runs over one representative per text, and the pair table must
+    // expand back to ALL member pairs — intra-group (jaccard 1.0) and
+    // cross-group — matching the exact inverted-index ground truth
+    val base = docs.select(col("doc_id"), col("text"))
+    val replicated = (0 until 3).map(r =>
+        base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairSet(Dedup.minhashPairs(replicated, "doc_id", "text",
+      numHashes = 32, rowsPerBand = 2, threshold = 0.5))
+    val exact = pairSet(Dedup.ngramJaccardPairs(replicated, "doc_id",
+      "text", n = 3, threshold = 0.5))
+    assert(found.subsetOf(exact), "false positives after expansion")
+    // replica pairs are jaccard-1.0 and must ALL be present
+    val ids = base.select(col("doc_id")).collect().map(_.getLong(0))
+    val replicaPairs = for {
+      id <- ids.toSet[Long]
+      r1 <- 0 until 3; r2 <- 0 until 3 if r1 < r2
+    } yield (id + r1 * 1000000L, id + r2 * 1000000L)
+    assert(replicaPairs.subsetOf(found), "missing intra-group replica pairs")
+    assert(found.size >= (exact.size * 0.9).toInt,
+      s"recall too low: ${found.size}/${exact.size}")
+  }
+
   test("simhash pairs are true near-duplicates") {
     val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
