@@ -83,39 +83,8 @@ def run_oracle(sql):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def kindsig(df):
-    """Dtype-kind signature per (sorted) column: the driver stringifies
-    values dtype-sensitively, so an int64 Spark column vs a float64 oracle
-    column (e.g. DuckDB HUGEINT -> pandas float64) hash-mismatches even
-    when %.10g-formatted values agree. Compare kinds, not just values."""
-    return {c: df[c].dtype.kind for c in sorted(df.columns)}
-
-def arraycols(df):
-    """Array-valued columns crash the driver's pandas sort (unhashable
-    numpy.ndarray) — outputs must be scalar-only."""
-    import numpy as np
-    bad = []
-    for c in df.columns:
-        if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-            bad.append(c)
-    return bad
-
-def canon(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = []
-    for t in df.itertuples(index=False):
-        row = []
-        for v in t:
-            if isinstance(v, float):
-                row.append("%.10g" % v)
-            elif v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append("NULL")
-            else:
-                row.append(str(v))
-        rows.append("\x1f".join(row))
-    rows.sort()
-    return cols, rows
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oraclecmp import kindsig, arraycols, canon  # noqa: E402
 
 fails = []
 import os
