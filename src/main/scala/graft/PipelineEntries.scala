@@ -97,6 +97,25 @@ object PipelineEntries {
     artifact(s, dir, "signatures")(
       Dedup.signatures(docs(s, dir), "doc_id", "text", n = 3))
 
+  /** Replica-fraction gate for the MinHash exact-replica pre-pass,
+    * measured ONCE per (session, corpus) off the persisted signature
+    * artifact's `g` digest. The fraction is a corpus constant; leaving
+    * the decision to [[Dedup.minhashPairsFromSigs]]'s adaptive default
+    * would re-pay a 2-stage aggregate + collect on EVERY query execution
+    * (bench r11: +0.5 s per warm dedup_minhash pass at sf0.1). */
+  private val replicaGateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private def replicaGate(s: SparkSession, dir: String): Boolean =
+    replicaGateMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => {
+        import org.apache.spark.sql.types.DoubleType
+        val row = docSigs(s, dir)
+          .agg(count(lit(1)).cast(DoubleType),
+            count_distinct(col("g")).cast(DoubleType)).collect()(0)
+        java.lang.Boolean.valueOf(row.getDouble(1) <= 0.8 * row.getDouble(0))
+      }).booleanValue()
+
   /** Shared-shingle pair-count table (Dedup.pairCountsFromSigs over
     * [[docSigs]]): the inverted-index self-join + count aggregation is
     * the single expensive stage behind EVERY set-overlap near-dup
@@ -495,7 +514,8 @@ object PipelineEntries {
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairsFromSigs(docSigs(s, dir),
-        numHashes = 32, rowsPerBand = 2, threshold = 0.5)),
+        numHashes = 32, rowsPerBand = 2, threshold = 0.5,
+        replicaGate = Some(replicaGate(s, dir)))),
 
     // portable md5-56 signature: the oracle recomputes signatures + all
     // pairs; banding recall for hamming<=3 is GUARANTEED (pigeonhole over

@@ -100,13 +100,21 @@ object Dedup {
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16): DataFrame = {
     import graft.functions.Staging.bound
-    // repartition the RAW docs (tiny text rows) so the heavy per-token
-    // hashing below runs on all cores even though the corpus parquet is
-    // one small file — this is the only full-corpus text movement
-    val toks = df.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("t"))
-      .filter(size(col("t")) >= w)
+    // Tokenize ONCE, full-width, and keep the token table for BOTH
+    // branches. The corpus parquet is one small file (a handful of scan
+    // partitions), so the raw (id, text) rows are exchanged FIRST — the
+    // text bytes are the one full-corpus movement — and tokenization +
+    // the >=w filter then run at full parallelism after it (the old
+    // shape tokenized inside the narrow scan, single-digit-way parallel,
+    // and re-tokenized the surviving docs again in the fingerprint
+    // branch from a second corpus scan). Persisted: the window-key
+    // branch explodes it, the fingerprint branch slices it.
+    val toks = pooledPersist(df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition()
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__text"))).as("t"))
+      .filter(size(col("t")) >= w))
     // sampled window-key offsets (1-based element_at positions i..i+w-1)
     val o1 = (w - 1) / 3
     val o2 = 2 * (w - 1) / 3
@@ -131,15 +139,12 @@ object Dedup {
       .filter(col("mn") =!= col("mx"))
       .select(explode(col("ps")).as("s"))
       .select(col("s.doc_id").as("doc_id"), col("s.pos").as("pos"))
-    // positions grouped per doc so the final pass re-tokenizes ONLY the
-    // surviving documents (the corpus-wide branch above never builds a
-    // string); the token array rides the tiny per-survivor explode only
+    // positions grouped per doc so the final pass builds window strings
+    // ONLY for surviving documents, off the persisted token table (the
+    // corpus-wide branch above never builds a string)
     val survPos = surv.groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("ps"))
-    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(survPos, Seq("doc_id"))
-      .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("__text"))).as("t"), col("ps"))
+    toks.join(survPos, Seq("doc_id"))
       .select(col("doc_id"), col("t"), explode(col("ps")).as("pos"))
       .select(col("doc_id"),
         md5(to_binary(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))),
@@ -270,11 +275,21 @@ object Dedup {
       numHashes, rowsPerBand, threshold, stage)
 
   /** [[minhashPairs]] from a pre-computed [[signatures]] table — the form
-    * every caller with more than one dedup pass should use. */
+    * every caller with more than one dedup pass should use.
+    *
+    * `replicaGate`: whether to run the exact-replica pre-pass
+    * (representatives-only banding + relational expansion). `None` =
+    * decide adaptively from a 2-number aggregate over `hs` — correct for
+    * one-shot callers, but the aggregate + collect is a per-invocation
+    * job on a corpus CONSTANT; callers that query the same corpus
+    * repeatedly (PipelineEntries over its versioned signature artifact)
+    * should measure the replica fraction once per corpus and pass
+    * `Some(_)` so warm queries skip the gate job entirely. */
   def minhashPairsFromSigs(hs: DataFrame,
                            numHashes: Int = 32, rowsPerBand: Int = 4,
                            threshold: Double = 0.5,
-                           stage: Boolean = false): DataFrame = {
+                           stage: Boolean = false,
+                           replicaGate: Option[Boolean] = None): DataFrame = {
     import graft.functions.Staging.bound
     val numBands = numHashes / rowsPerBand
     // ---- exact pre-pass ------------------------------------------------
@@ -364,12 +379,16 @@ object Dedup {
     // distinct (the sf0.1 fixture: 8 dup groups in 5000 docs) run the
     // plain banding over the full signature table, and replica-heavy
     // corpora (real crawls; the sf1 stress fixture at 10x replication)
-    // run it over representatives only.
-    val gateRow = withG
-      .agg(count(lit(1)).cast(DoubleType), count_distinct(col("g"))
-        .cast(DoubleType)).collect()(0)
-    val (total, groups) = (gateRow.getDouble(0), gateRow.getDouble(1))
-    if (groups > 0.8 * total) return bandedVerify(withG)
+    // run it over representatives only. `replicaGate` short-circuits the
+    // aggregate for callers that already measured the corpus.
+    val usePrePass = replicaGate.getOrElse {
+      val gateRow = withG
+        .agg(count(lit(1)).cast(DoubleType), count_distinct(col("g"))
+          .cast(DoubleType)).collect()(0)
+      val (total, groups) = (gateRow.getDouble(0), gateRow.getDouble(1))
+      groups <= 0.8 * total
+    }
+    if (!usePrePass) return bandedVerify(withG)
 
     // rep selection is a NARROW aggregate (g, id only); persisted so the
     // semi-join and the expansion reuse one materialization.
