@@ -60,7 +60,24 @@ object ParquetNanos {
     // values DuckDB sees, and parquet filter pushdown keeps working.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path)
-    nanosFields(spark, path).foldLeft(df) { (d, c) =>
+    // Spark-WRITTEN parquet embeds its own schema in the footer
+    // (org.apache.spark.sql.parquet.row.metadata), which OVERRIDES the
+    // NTZ-inference conf above: a file whose embedded schema says
+    // timestamp_ntz (e.g. the MakeSfN scale fixtures, which cast to NTZ
+    // to get unadjusted-micros physical layout) surfaces as
+    // TimestampNTZType no matter the conf. Normalize to TimestampType —
+    // an identity on wall-clock values in this UTC session — so every
+    // ts column reaches queries as one type regardless of who wrote the
+    // file or which metadata it carries.
+    val ntzNormalized = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name,
+            col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
+    }
+    nanosFields(spark, path).foldLeft(ntzNormalized) { (d, c) =>
       d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
     }
   }
