@@ -111,6 +111,10 @@ SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""")
 # ---- stage 2: per-entry logic over the staged tables ------------------
 entry("dedup_clusters", "SELECT id, cluster_id FROM clusters05")
 
+entry("dedup_materialize", """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM clusters05 WHERE id <> cluster_id)""")
+
 entry("graph_pagerank", """
 WITH edges AS (SELECT a_id AS src, b_id AS dst FROM pairs05
                UNION ALL SELECT b_id, a_id FROM pairs05),
