@@ -424,7 +424,11 @@ object SparkEntry {
         .filter(col("c_mktsegment") === "BUILDING")
       val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff)
       val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      // shuffle_hash build on the (customer x filtered orders) side —
+      // the same scale shape as q5: SMJ would sort the full filtered
+      // lineitem per partition for no benefit on an equal-width keyed join
       cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
@@ -439,8 +443,17 @@ object SparkEntry {
       val ord = tbl(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      // shuffle_hash on the (customer x date-filtered orders) build side:
+      // both q5 join inputs are equal-width keyed shuffles, and the SMJ
+      // Spark otherwise plans sorts the full lineitem table per
+      // partition (6M rows at sf1, the query's dominant cost). The
+      // build side is one hash partition of the FILTERED orders join
+      // (~1/7 of orders x 2 narrow cols) — bounded per partition at any
+      // scale by the shuffle partition count, unlike a broadcast of a
+      // year of orders, which would not survive 100 TB.
       tbl(s, dir, "customer")
         .join(ord, col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .join(tbl(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
@@ -465,8 +478,10 @@ object SparkEntry {
       val ord = tbl(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-10-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      // shuffle_hash build on (customer x one-quarter orders) — q5's shape
       tbl(s, dir, "customer")
         .join(ord, col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
           col("o_orderkey") === col("l_orderkey"))
         .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -613,10 +628,16 @@ object SparkEntry {
     // LIKE filter (fixtures lack partsupp, so profit = discounted revenue
     // rather than revenue minus ps_supplycost)
     "tpch_q9" -> ((s, dir) => {
+      // orders joins on l_orderkey as a shuffle_hash build side: both
+      // inputs are fact-sized (AQE's compressed-size estimate otherwise
+      // BROADCASTS the full orders table at sf1 — the q21 lesson; a
+      // hashed relation of every order dies long before 100 TB), and
+      // per-partition build = |orders|/shuffle-partitions narrow rows.
       tbl(s, dir, "part").filter(col("p_name").contains("red"))
         .join(tbl(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
         .join(tbl(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
-        .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "orders").hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(tbl(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
@@ -645,9 +666,13 @@ object SparkEntry {
     // a secondary join-condition conjunct, zero-preserved by count(col)
     // (o_orderpriority stands in for the missing o_comment filter)
     "tpch_q13" -> ((s, dir) => {
+      // shuffle_hash: customer LEFT OUTER orders is a fact-fact join on
+      // custkey; AQE's compressed-size estimate otherwise BROADCASTS the
+      // whole orders table (hash relation of every order — scale-wrong)
       val ord = tbl(s, dir, "orders")
       tbl(s, dir, "customer")
-        .join(ord, col("c_custkey") === col("o_custkey") &&
+        .join(ord.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey") &&
           col("o_orderpriority") =!= "1-URGENT", "left_outer")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("c_count"))

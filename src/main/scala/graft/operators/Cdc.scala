@@ -66,7 +66,11 @@ object Cdc {
                   payload: Seq[(String, (String, String))]): DataFrame = {
     val b = base.withColumnRenamed(key, "__bk")
     val d = delta.withColumnRenamed(key, "__dk")
-    b.join(d, col("__bk") === col("__dk"), "full_outer")
+    // shuffle_hash, build = delta (a compacted changeset is the smaller
+    // side of every MERGE): Spark supports full-outer shuffled hash
+    // joins, and SMJ's per-partition sorts of both keyed inputs are
+    // wasted work here
+    b.join(d.hint("shuffle_hash"), col("__bk") === col("__dk"), "full_outer")
       .filter(col(opCol).isNull || col(opCol) =!= deleteOp)
       .select(coalesce(col("__dk"), col("__bk")).as(key) +:
         payload.map { case (out, (bc, dc)) =>

@@ -22,12 +22,18 @@ object Relational {
                        joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), keys, joinType)
 
-  /** Shuffle (sort-merge/hash) join for fact-to-fact. Both sides shuffle
-    * on the key once; with AQE on, Spark picks SMJ vs SHJ and handles skew
-    * splitting at runtime. */
+  /** Shuffle join for fact-to-fact: both sides shuffle on the key once,
+    * then hash-join per partition (shuffle_hash hint, build = `right` —
+    * callers pass the narrower relation as `right`). The hint pins the
+    * contract the operator's name states: without it AQE's
+    * compressed-size estimate can promote a whole fact table to a
+    * broadcast hash relation (measured on the 10x fixture — a plan that
+    * dies long before 100 TB), and an unhinted shuffle join falls to
+    * SMJ, whose per-partition sorts of equal-width keyed inputs are
+    * pure overhead. AQE skew splitting still applies to the exchanges. */
   def shuffleJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                   joinType: String = "inner"): DataFrame =
-    left.join(right, keys, joinType)
+    left.join(right.hint("shuffle_hash"), keys, joinType)
 
   /** Left-semi (EXISTS) / left-anti (NOT EXISTS). */
   def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
