@@ -541,7 +541,8 @@ object PipelineEntries {
     // exact sliding-window substring dup at arbitrary alignment —
     // catches cross-offset spans that dedup_chunks' aligned chunks miss
     "dedup_substrings" -> ((s, dir) =>
-      Dedup.substringDupWindows(docs(s, dir), "doc_id", "text", w = 16)),
+      Dedup.substringDupWindows(docs(s, dir), "doc_id", "text", w = 16,
+        replicaGate = Some(replicaGate(s, dir)))),
 
     // exact-recall prefix-filtered pairs (PPJoin): the oracle is the
     // EXHAUSTIVE J>=0.7 pair set — passing proves zero recall loss

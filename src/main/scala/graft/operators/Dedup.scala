@@ -98,22 +98,56 @@ object Dedup {
     * states. 4 sampled 31-bit hashes give ~124 bits of discrimination,
     * so false candidates stay negligible. */
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 16): DataFrame = {
+      w: Int = 16, replicaGate: Option[Boolean] = None): DataFrame = {
     import graft.functions.Staging.bound
-    // Tokenize ONCE, full-width, and keep the token table for BOTH
-    // branches. The corpus parquet is one small file (a handful of scan
+    // The corpus parquet is one small file (a handful of scan
     // partitions), so the raw (id, text) rows are exchanged FIRST — the
-    // text bytes are the one full-corpus movement — and tokenization +
-    // the >=w filter then run at full parallelism after it (the old
-    // shape tokenized inside the narrow scan, single-digit-way parallel,
-    // and re-tokenized the surviving docs again in the fingerprint
-    // branch from a second corpus scan). Persisted: the window-key
-    // branch explodes it, the fingerprint branch slices it.
-    val toks = pooledPersist(df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // text bytes are the one full-corpus movement — and everything
+    // downstream runs at full parallelism (the pre-fix shape tokenized
+    // inside the narrow scan, single-digit-way parallel).
+    val raw = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition()
+
+    // Exact-replica pre-pass (same design as [[minhashPairsFromSigs]]):
+    // docs with IDENTICAL text have identical windows at identical
+    // positions, so window keying, the keyed shuffle, and the
+    // string-build + md5 of every surviving position run on ONE
+    // representative (min id) per exact-text group, each carrying its
+    // group size n_g; the final aggregate expands counts relationally.
+    // On replica-heavy corpora — real crawls, and the MakeSfN stress
+    // fixture where every doc has 10 copies — this divides the heavy
+    // stages by the replica factor. `replicaGate` short-circuits the
+    // adaptive 2-number aggregate for callers that already measured
+    // the corpus (PipelineEntries memoizes it per corpus).
+    val usePrePass = replicaGate.getOrElse {
+      val r = raw.agg(count(lit(1)).cast(DoubleType),
+        count_distinct(md5(to_binary(col("__text"), lit("utf-8"))))
+          .cast(DoubleType)).collect()(0)
+      r.getDouble(1) <= 0.8 * r.getDouble(0)
+    }
+    val weighted =
+      if (!usePrePass) raw.withColumn("n_g", lit(1L))
+      else {
+        // narrow digest aggregate: only (digest, id) ride the shuffle.
+        // The rep table is small (one row per DISTINCT text); AQE sizes
+        // the join back onto raw at runtime (broadcast here, shuffle on
+        // a cluster where even the distinct corpus is huge).
+        val reps = raw
+          .select(col("doc_id"),
+            md5(to_binary(col("__text"), lit("utf-8"))).as("g"))
+          .groupBy(col("g"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_g"))
+          .select(col("doc_id"), col("n_g"))
+        raw.join(reps, "doc_id")
+      }
+
+    // Tokenize ONCE and keep the token table for BOTH branches: the
+    // window-key branch explodes it, the fingerprint branch slices it
+    // (the pre-fix shape re-tokenized surviving docs from a second
+    // corpus scan).
+    val toks = pooledPersist(weighted
       .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("__text"))).as("t"))
+        TextAnalysis.tokens(lower(col("__text"))).as("t"), col("n_g"))
       .filter(size(col("t")) >= w))
     // sampled window-key offsets (1-based element_at positions i..i+w-1)
     val o1 = (w - 1) / 3
@@ -122,21 +156,24 @@ object Dedup {
     // h < 2^31 and the coefficient sum < 2^21, so k < 2^52 — inside
     // ANSI long bounds
     val keyed = toks
-      .select(col("doc_id"), bound(col("t"))(t =>
+      .select(col("doc_id"), col("n_g"), bound(col("t"))(t =>
         transform(t, x => pmod(xxhash64(x), lit(MersenneP)))).as("hs"))
-      .select(col("doc_id"), posexplode(bound(col("hs"))(hs =>
+      .select(col("doc_id"), col("n_g"), posexplode(bound(col("hs"))(hs =>
         transform(sequence(lit(1), size(hs) - lit(w - 1)), i =>
           element_at(hs, i) * lit(1000003L) +
             element_at(hs, i + o1) * lit(524287L) +
             element_at(hs, i + o2) * lit(8191L) +
             element_at(hs, i + o3) * lit(131L)))))
       .withColumnRenamed("col", "k")
-    // the single keyed shuffle: doc min/max (multi-doc filter) and the
-    // position list ride the same exchange
+    // the single keyed shuffle: the multi-doc filter and the position
+    // list ride the same exchange. A window survives if it occurs in
+    // two distinct keyed docs (mn != mx) OR in one doc that stands for
+    // a replica group of >= 2 copies.
     val surv = keyed.groupBy(col("k"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        max(col("n_g")).as("mg"),
         collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
-      .filter(col("mn") =!= col("mx"))
+      .filter(col("mn") =!= col("mx") || col("mg") >= 2)
       .select(explode(col("ps")).as("s"))
       .select(col("s.doc_id").as("doc_id"), col("s.pos").as("pos"))
     // positions grouped per doc so the final pass builds window strings
@@ -144,15 +181,24 @@ object Dedup {
     // corpus-wide branch above never builds a string)
     val survPos = surv.groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("ps"))
+    // Replica expansion is exact, not approximate: every member of an
+    // exact-text group contains precisely the windows its rep contains,
+    // groups are disjoint, and the rep IS the group's min id — so
+    // keep_doc = min over reps, occurrences = positions x group size,
+    // n_docs = sum of group sizes over the distinct docs containing fp.
+    // With no pre-pass n_g = 1 everywhere and this reduces to the plain
+    // count/count-distinct semantics the DuckDB oracle states.
     toks.join(survPos, Seq("doc_id"))
-      .select(col("doc_id"), col("t"), explode(col("ps")).as("pos"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_g"), col("t"), explode(col("ps")).as("pos"))
+      .select(col("doc_id"), col("n_g"),
         md5(to_binary(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))),
           lit("utf-8"))).as("fp"))
+      .groupBy(col("fp"), col("doc_id"), col("n_g"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("fp")).agg(
         min(col("doc_id")).as("keep_doc"),
-        count(lit(1)).as("occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        sum(col("cnt") * col("n_g")).cast(LongType).as("occurrences"),
+        sum(col("n_g")).cast(LongType).as("n_docs"))
       .filter(col("n_docs") > 1)
   }
 

@@ -75,4 +75,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(Dedup.substringDupWindows(selfRep.union(corpus.filter(col("doc_id") === 3L)),
       "doc_id", "text", w = 16).count() === 0L)
   }
+
+  test("exact-replica pre-pass equals the plain path on replicated corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("aa", "bb", "cc")
+    for (trial <- 1 to 8) {
+      val base = (0 until 5).map { i =>
+        (i.toLong, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      // 3 exact copies of every doc under disjoint ids (the MakeSfN
+      // stress shape), plus one replicated doc with a unique text —
+      // its windows must surface with n_docs = its replica count even
+      // though only one REPRESENTATIVE carries them through keying
+      val replicated = (0 until 3).flatMap(r =>
+        base.map { case (id, t) => (id + r * 100L, t) })
+      val df = replicated.toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("keep_doc"),
+          r.getAs[Long]("occurrences"), r.getAs[Long]("n_docs"))).toSeq.sorted
+      val plain = rows(Dedup.substringDupWindows(df, "doc_id", "text",
+        w = 4, replicaGate = Some(false)))
+      val pre = rows(Dedup.substringDupWindows(df, "doc_id", "text",
+        w = 4, replicaGate = Some(true)))
+      assert(pre == plain, s"trial $trial")
+      // the adaptive default must pick the pre-pass here (15 docs, 5 texts)
+      val auto = rows(Dedup.substringDupWindows(df, "doc_id", "text", w = 4))
+      assert(auto == plain, s"trial $trial (adaptive)")
+    }
+  }
 }
