@@ -321,19 +321,31 @@ object PipelineEntries {
     // shared pair table.
     "pipeline_curate_pack" -> ((s, dir) => {
       val d = docs(s, dir)
-      val passIds = TextAnalysis.gopherSignals(d, "doc_id", "text")
+      // Persist the NARROW signals table before filtering: predicate
+      // pushdown otherwise substitutes the quality gates' aliases
+      // through the signals projection and re-tokenizes the corpus once
+      // per condition (measured 2.0 s vs 0.3 s for the same signals at
+      // the 10x fixture — Staging.bound stops CollapseProject but not
+      // PushDownPredicates). The cached rows are (id, 3 numbers): tiny
+      // at any corpus size. n_words doubles as the packing token count
+      // (tokenCount IS size(tokens(text)) — same expression), so the
+      // whole entry tokenizes the corpus exactly once.
+      val gop = Dedup.pooledPersist(
+        TextAnalysis.gopherSignals(d, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_words"),
+            col("mean_word_len"), col("alpha_ratio")))
+      val passTok = gop
         .filter(col("n_words") >= 50 &&
           col("mean_word_len").between(3.0, 10.0) &&
           col("alpha_ratio") >= 0.8)
-        .select(col("id").as("doc_id"))
+        .select(col("doc_id"), col("n_words").cast(LongType).as("n_tokens"))
       val dropIds = Dedup.clusters(jaccardPairs05(s, dir))
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       val keep = d.filter(col("lang") === "en")
-        .join(passIds, "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .join(passTok, "doc_id")
         .join(dropIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
       // hash-sharded greedy packing (see ext_pack_sequences): the lang
       // filter above collapses the corpus to ONE language, so a per-lang
       // window here would be a single-reducer sort of everything kept

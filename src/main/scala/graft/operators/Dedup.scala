@@ -36,10 +36,13 @@ object Dedup {
     * fresh ones, so a long session (or a bench loop) accumulates cached
     * blocks with nothing to unpersist them; every one is registered here
     * and [[releaseIntermediates]] drops them all. Callers that re-execute
-    * a previously returned DataFrame after release simply recompute. */
+    * a previously returned DataFrame after release simply recompute.
+    * Package-visible so pipeline entries can register per-query narrow
+    * caches (e.g. the curate gate's signals table) in the same pool the
+    * bench protocol releases between passes. */
   private val pooled =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-  private def pooledPersist(df: DataFrame): DataFrame = {
+  private[graft] def pooledPersist(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pooled.add(p)
     p
