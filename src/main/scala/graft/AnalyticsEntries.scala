@@ -405,8 +405,13 @@ object AnalyticsEntries {
       val base = tbl(s, dir, "customer")
         .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
         .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
-      val delta = Cdc.latestPerKey(tbl(s, dir, "orders"), Seq("o_custkey"),
-          Seq(col("o_orderdate"), col("o_orderkey")))
+      // struct-MAX compaction, not the row_number window: the (date,
+      // orderkey) sort key is unique per row so the lexicographic MAX
+      // picks the identical latest order, with map-side partials instead
+      // of a full per-key sort of the change log (see Cdc scale notes)
+      val delta = Cdc.latestPerKeyAgg(tbl(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          Seq("o_orderstatus", "o_totalprice"))
         .select(col("o_custkey").as("key"),
           when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
             .as("op"),
