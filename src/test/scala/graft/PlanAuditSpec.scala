@@ -417,6 +417,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(exch.size <= 3, s"expected <=3 shuffles:\n${exch.mkString("\n")}")
   }
 
+  test("fact-fact joins plan as shuffled hash joins, never fact broadcasts") {
+    // Round-11 lesson from the 10x fixture: unhinted, SMJ sorts the
+    // full lineitem probe side (q3/q5/q10), and AQE's compressed-size
+    // estimate promotes the WHOLE orders table to a broadcast hash
+    // relation (q9/q13/join_shuffle_fact) — tolerable at 10x, fatal at
+    // 100 TB. The shuffle_hash hints pin the exchange-partitioned plan;
+    // this audit pins the hints. Static plan (pre-AQE): the hint's
+    // effect is visible there, and hinted strategies win regardless of
+    // what runtime sizes would suggest.
+    for (q <- Seq("tpch_q5", "tpch_q9", "tpch_q13", "join_shuffle_fact")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"$q lost its SHJ:\n$plan")
+      // no BroadcastExchange may sit directly on a fact-table scan
+      // (orders/lineitem); dims (nation, region, supplier subset) may
+      val bad = plan.linesIterator.zipWithIndex.exists { case (l, i) =>
+        l.contains("BroadcastExchange") && {
+          val below = plan.linesIterator.slice(i + 1, i + 3).mkString
+          below.contains("orders.parquet") || below.contains("lineitem.parquet")
+        }
+      }
+      assert(!bad, s"$q broadcasts a fact scan:\n$plan")
+    }
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
