@@ -925,6 +925,16 @@ object SparkEntry {
           Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
         .select(col("o_orderpriority"), col("o_orderkey"))),
 
+    // same semantics via the two-phase SALTED window — the shape that
+    // survives a handful of enum groups over a 100 TB fact, where the
+    // plain window sorts each whole group on one reducer. Same oracle
+    // (exactness of the salted phase-1 cut is part of the contract).
+    "ext_topk_salted_per_group" -> ((s, dir) =>
+      Relational.topKPerGroupSalted(tbl(s, dir, "orders"),
+          Seq("o_orderpriority"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"))),
+
     "ext_window_rank" -> ((s, dir) =>
       Relational.rankInGroups(tbl(s, dir, "orders"),
           Seq("o_orderpriority"),
@@ -1451,6 +1461,10 @@ object SparkEntry {
     "ext_topk" ->
       "SELECT o_orderkey, round(o_totalprice,4) AS o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
     "ext_window_topk_per_group" ->
+      ("SELECT o_orderpriority, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) WHERE rn <= 3"),
+    "ext_topk_salted_per_group" ->
       ("SELECT o_orderpriority, o_orderkey FROM (SELECT o_orderpriority, o_orderkey, " +
        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
        "FROM orders) WHERE rn <= 3"),

@@ -61,11 +61,36 @@ object Relational {
   }
 
   /** Top-K per group via window + filter — the scalable "greatest-n-per-
-    * group": one shuffle, no self-join. */
+    * group" when group cardinality is comparable to (or above) the
+    * cluster's core count (the ANN shortlists' q_id groups): one
+    * shuffle, no self-join. When groups are FEW and huge (a handful of
+    * enum values over a 100 TB fact), each group's rows sort through
+    * one reducer — use [[topKPerGroupSalted]] there. */
   def topKPerGroup(df: DataFrame, partCols: Seq[String],
                    orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
     rankInGroups(df, partCols, orderCols, "__rn")
       .filter(col("__rn") <= k).drop("__rn")
+
+  /** EXACT two-phase salted top-K per group for LOW-cardinality groups.
+    * Phase 1 ranks within (group, salt) — full cluster parallelism
+    * however few groups exist — keeping each bucket's local top-k;
+    * phase 2 ranks the k x saltFactor survivors per group exactly. No
+    * true top-k row can be cut in phase 1: a row beaten by >= k rows in
+    * its own salt bucket is beaten by >= k rows globally. The salt is a
+    * deterministic hash of the order columns, so results are
+    * reproducible. Costs one extra (tiny) exchange over the plain
+    * window — the price of never sorting a whole group on one core. */
+  def topKPerGroupSalted(df: DataFrame, partCols: Seq[String],
+                         orderCols: Seq[(String, Boolean)], k: Int,
+                         saltFactor: Int = 32): DataFrame = {
+    val salt = pmod(xxhash64(orderCols.map(c => col(c._1)): _*),
+      lit(saltFactor.toLong))
+    val local = rankInGroups(df.withColumn("__salt", salt),
+        partCols :+ "__salt", orderCols, "__rn1")
+      .filter(col("__rn1") <= k).drop("__rn1", "__salt")
+    rankInGroups(local, partCols, orderCols, "__rn")
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 
   // ------------------------------------------------------- skew handling
 
