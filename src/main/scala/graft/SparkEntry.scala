@@ -426,8 +426,13 @@ object SparkEntry {
       val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
       // shuffle_hash build on the (customer x filtered orders) side —
       // the same scale shape as q5: SMJ would sort the full filtered
-      // lineitem per partition for no benefit on an equal-width keyed join
-      cust.join(ord, col("c_custkey") === col("o_custkey"))
+      // lineitem per partition for no benefit on an equal-width keyed join.
+      // The INNER join is hinted too (build = the segment-filtered
+      // customer side): unhinted, the planner broadcasts the whole
+      // customer fact scan — fine at sf0.01, fatal at 100 TB (round-12
+      // ADVICE; same AQE compressed-size promotion as q9/q13's orders).
+      cust.hint("shuffle_hash")
+        .join(ord, col("c_custkey") === col("o_custkey"))
         .hint("shuffle_hash")
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -450,8 +455,10 @@ object SparkEntry {
       // build side is one hash partition of the FILTERED orders join
       // (~1/7 of orders x 2 narrow cols) — bounded per partition at any
       // scale by the shuffle partition count, unlike a broadcast of a
-      // year of orders, which would not survive 100 TB.
-      tbl(s, dir, "customer")
+      // year of orders, which would not survive 100 TB. The inner
+      // customer x orders join is hinted as well (build = customer, the
+      // narrower side) — unhinted it broadcasts the customer fact scan.
+      tbl(s, dir, "customer").hint("shuffle_hash")
         .join(ord, col("c_custkey") === col("o_custkey"))
         .hint("shuffle_hash")
         .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -478,9 +485,12 @@ object SparkEntry {
       val ord = tbl(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-10-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
-      // shuffle_hash build on (customer x one-quarter orders) — q5's shape
+      // shuffle_hash build on (customer x one-quarter orders) — q5's
+      // shape. Inner join hinted with build = the quarter-filtered
+      // orders side (smaller than the full customer table); unhinted the
+      // planner broadcasts the customer fact scan.
       tbl(s, dir, "customer")
-        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
         .hint("shuffle_hash")
         .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
           col("o_orderkey") === col("l_orderkey"))
@@ -932,7 +942,8 @@ object SparkEntry {
     "ext_topk_salted_per_group" -> ((s, dir) =>
       Relational.topKPerGroupSalted(tbl(s, dir, "orders"),
           Seq("o_orderpriority"),
-          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3,
+          disambig = "o_orderkey")
         .select(col("o_orderpriority"), col("o_orderkey"))),
 
     "ext_window_rank" -> ((s, dir) =>

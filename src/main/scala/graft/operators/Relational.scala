@@ -71,21 +71,37 @@ object Relational {
     rankInGroups(df, partCols, orderCols, "__rn")
       .filter(col("__rn") <= k).drop("__rn")
 
+  /** Deterministic salt bucket for [[topKPerGroupSalted]]: hashes a
+    * caller-named row-unique `disambig` column, NOT the order columns.
+    * Hashing the order columns (the pre-round-12 form) sent every row
+    * tying on the full sort key to ONE bucket — and a low-cardinality
+    * order key is exactly the regime this operator exists for, so the
+    * plan silently degenerated back to one reducer per group. Bucket
+    * assignment does not enter the phase-1 exactness proof, so any
+    * deterministic expression is valid; a unique id gives uniform
+    * spread. (Exact FULL-ROW duplicates still co-bucket if `disambig`
+    * repeats — unavoidable under determinism, and harmless to
+    * exactness since identical rows are interchangeable.) */
+  private[graft] def saltBucket(disambig: String, saltFactor: Int): Column =
+    pmod(xxhash64(col(disambig)), lit(saltFactor.toLong))
+
   /** EXACT two-phase salted top-K per group for LOW-cardinality groups.
     * Phase 1 ranks within (group, salt) — full cluster parallelism
     * however few groups exist — keeping each bucket's local top-k;
     * phase 2 ranks the k x saltFactor survivors per group exactly. No
     * true top-k row can be cut in phase 1: a row beaten by >= k rows in
     * its own salt bucket is beaten by >= k rows globally. The salt is a
-    * deterministic hash of the order columns, so results are
-    * reproducible. Costs one extra (tiny) exchange over the plain
-    * window — the price of never sorting a whole group on one core. */
+    * deterministic hash of the required row-unique `disambig` column
+    * (see [[saltBucket]]), so results are reproducible AND ties on the
+    * order key still spread across buckets. Costs one extra (tiny)
+    * exchange over the plain window — the price of never sorting a
+    * whole group on one core. */
   def topKPerGroupSalted(df: DataFrame, partCols: Seq[String],
                          orderCols: Seq[(String, Boolean)], k: Int,
+                         disambig: String,
                          saltFactor: Int = 32): DataFrame = {
-    val salt = pmod(xxhash64(orderCols.map(c => col(c._1)): _*),
-      lit(saltFactor.toLong))
-    val local = rankInGroups(df.withColumn("__salt", salt),
+    val local = rankInGroups(
+        df.withColumn("__salt", saltBucket(disambig, saltFactor)),
         partCols :+ "__salt", orderCols, "__rn1")
       .filter(col("__rn1") <= k).drop("__rn1", "__salt")
     rankInGroups(local, partCols, orderCols, "__rn")

@@ -59,25 +59,30 @@ object ParquetNanos {
     // TimestampType (UTC session == naive wall clock), not NTZ — same
     // values DuckDB sees, and parquet filter pushdown keeps working.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(path)
+    val probe = spark.read.parquet(path)
     // Spark-WRITTEN parquet embeds its own schema in the footer
     // (org.apache.spark.sql.parquet.row.metadata), which OVERRIDES the
     // NTZ-inference conf above: a file whose embedded schema says
     // timestamp_ntz (e.g. the MakeSfN scale fixtures, which cast to NTZ
     // to get unadjusted-micros physical layout) surfaces as
     // TimestampNTZType no matter the conf. Normalize to TimestampType —
-    // an identity on wall-clock values in this UTC session — so every
-    // ts column reaches queries as one type regardless of who wrote the
-    // file or which metadata it carries.
-    val ntzNormalized = df.schema.fields.foldLeft(df) { (d, f) =>
-      f.dataType match {
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          d.withColumn(f.name,
-            col(f.name).cast(org.apache.spark.sql.types.TimestampType))
-        case _ => d
+    // an identity on wall-clock values in this UTC session — by
+    // RE-READING with an explicit user schema (NTZ fields mapped to
+    // TimestampType), not by casting above the scan: a post-read cast
+    // blocks parquet predicate pushdown on exactly the columns the scale
+    // fixtures' date filters hit, while a user schema makes the scan
+    // itself emit TimestampType so PushedFilters survive (round-12
+    // ADVICE; pinned by TimestampLayoutSpec's pushdown test).
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    val df =
+      if (!probe.schema.fields.exists(_.dataType == TimestampNTZType)) probe
+      else {
+        val fixed = StructType(probe.schema.fields.map(f =>
+          if (f.dataType == TimestampNTZType) f.copy(dataType = TimestampType)
+          else f))
+        spark.read.schema(fixed).parquet(path)
       }
-    }
-    nanosFields(spark, path).foldLeft(ntzNormalized) { (d, c) =>
+    nanosFields(spark, path).foldLeft(df) { (d, c) =>
       d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
     }
   }

@@ -426,19 +426,34 @@ class PlanAuditSpec extends SparkSpec {
     // this audit pins the hints. Static plan (pre-AQE): the hint's
     // effect is visible there, and hinted strategies win regardless of
     // what runtime sizes would suggest.
-    for (q <- Seq("tpch_q5", "tpch_q9", "tpch_q13", "join_shuffle_fact")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.sparkPlan.toString
-      assert(plan.contains("ShuffledHashJoin"), s"$q lost its SHJ:\n$plan")
-      // no BroadcastExchange may sit directly on a fact-table scan
-      // (orders/lineitem); dims (nation, region, supplier subset) may
-      val bad = plan.linesIterator.zipWithIndex.exists { case (l, i) =>
-        l.contains("BroadcastExchange") && {
-          val below = plan.linesIterator.slice(i + 1, i + 3).mkString
-          below.contains("orders.parquet") || below.contains("lineitem.parquet")
-        }
+    // Audited by WALKING the static plan tree, not by string offsets:
+    // BroadcastExchange nodes are only inserted by EnsureRequirements
+    // into the executed plan, so a grep for them over sparkPlan can
+    // never fire (round-12 ADVICE — the old form was vacuous). The
+    // strategy decision itself lives in the BroadcastHashJoin node's
+    // build side, which the static plan does contain.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val facts = Seq("orders.parquet", "lineitem.parquet", "customer.parquet")
+    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q9", "tpch_q10", "tpch_q13",
+        "join_shuffle_fact")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      assert(plan.toString.contains("ShuffledHashJoin"), s"$q lost its SHJ:\n$plan")
+      // no broadcast build side may contain a fact-table scan
+      // (orders/lineitem/customer); dims (nation, region, part, the
+      // one-nation supplier subset) may broadcast
+      val buildSides = plan.collect {
+        case b: BroadcastHashJoinExec =>
+          b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
+        case b: BroadcastNestedLoopJoinExec =>
+          b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
       }
-      assert(!bad, s"$q broadcasts a fact scan:\n$plan")
+      val broadcastFactScans = buildSides.flatMap(_.collect {
+        case f: FileSourceScanExec if facts.exists(f.toString.contains) => f.toString
+      })
+      assert(broadcastFactScans.isEmpty,
+        s"$q broadcasts a fact scan:\n${broadcastFactScans.mkString("\n")}\n$plan")
     }
   }
 

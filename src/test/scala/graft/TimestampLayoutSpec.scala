@@ -48,6 +48,26 @@ class TimestampLayoutSpec extends SparkSpec {
       ("2024-06-30 23:59:59.999999", "2024-06-30")), got)
   }
 
+  test("NTZ-embedded parquet: ts filters still push down to the scan") {
+    import SparkSpecBase.implicits._
+    val dir = "/root/repo/target/tmp/spec_ntz_pushdown"
+    (1 to 100).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00")))
+      .toDF("id", "ts")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val filtered = graft.sources.ParquetNanos.read(spark, dir)
+      .filter(col("ts") >= lit("2024-01-20 00:00:00").cast(TimestampType))
+    // the scan itself must emit TimestampType (explicit user schema), so
+    // the predicate reaches parquet — a cast above the scan loses this
+    val plan = filtered.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts filter not pushed:\n$plan")
+    assert(filtered.schema("ts").dataType == TimestampType)
+    assert(filtered.count() ==
+      (1 to 100).count(i => i % 28 + 1 >= 20))
+  }
+
   test("withDerived accepts TimestampNTZ frames (non-parquet sources)") {
     import SparkSpecBase.implicits._
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-10 07:45:00")))

@@ -46,24 +46,52 @@ class OracleTimeout(Exception):
     pass
 
 
+# Generation token guarding the interrupt path: a Timer whose
+# timer.cancel() lost the race (fired just after its query completed)
+# must NOT interrupt the connection — that interrupt lands on the NEXT
+# statement, and even though the retry loop absorbs it, the timed pass
+# would then include an aborted-plus-retried execution. The token is
+# re-checked under a lock inside the timer callback, and the attempt
+# invalidates it the moment its query returns. Timing is measured
+# PER ATTEMPT inside run_timed (clock restarts on a spurious-interrupt
+# retry), so even a residual race cannot contaminate a reported number.
+_gen_lock = threading.Lock()
+_gen = 0
+
+
 def run_timed(sql):
+    """Execute sql; returns (rows, elapsed_s of the successful attempt)."""
+    global _gen
     if not TIMEOUT_S:
-        return con.execute(sql).fetchall()
-    for attempt in (1, 2):
+        t0 = time.time()
+        rows = con.execute(sql).fetchall()
+        return rows, time.time() - t0
+    for attempt in (1, 2, 3):
+        with _gen_lock:
+            _gen += 1
+            my_gen = _gen
         fired = threading.Event()
 
         def _interrupt():
-            fired.set()
-            con.interrupt()
+            with _gen_lock:
+                if _gen != my_gen:
+                    return  # stale timer: its query already finished
+                fired.set()
+                con.interrupt()
 
         timer = threading.Timer(TIMEOUT_S, _interrupt)
         timer.start()
         try:
-            return con.execute(sql).fetchall()
+            t0 = time.time()
+            rows = con.execute(sql).fetchall()
+            dt = time.time() - t0
+            with _gen_lock:
+                _gen += 1  # invalidate this attempt's timer immediately
+            return rows, dt
         except INTERRUPT_EXC:
             if fired.is_set():
                 raise OracleTimeout()
-            continue
+            continue  # spurious interrupt: retry with a fresh clock
         except Exception as e:
             if "INTERRUPT" in str(e).upper():
                 if fired.is_set():
@@ -89,9 +117,7 @@ for name in HEADLINE:
         run_timed(sql)  # untimed warmup
         best = None
         for _ in range(passes):
-            t0 = time.time()
-            run_timed(sql)
-            dt = time.time() - t0
+            _, dt = run_timed(sql)  # per-attempt clock (race-immune)
             best = dt if best is None else min(best, dt)
     except OracleTimeout:
         times[name] = "timeout"

@@ -46,6 +46,10 @@ class OracleTimeout(Exception):
     pass
 
 
+_gen_lock = threading.Lock()
+_gen = 0
+
+
 def run_oracle(sql):
     """Execute with optional interrupt-after-timeout.
 
@@ -53,20 +57,34 @@ def run_oracle(sql):
     error is only treated as a timeout when the flag is set. Without the
     flag there is a race: a query completing just as the timer fires
     leaves con.interrupt() to cancel the NEXT oracle, mis-reporting a
-    healthy entry as timed out — in that case retry the query once."""
+    healthy entry as timed out — in that case retry the query once. A
+    generation token (re-checked under a lock in the timer callback,
+    invalidated the moment a query returns) keeps a stale timer from
+    interrupting the connection at all in the common case; the flagged
+    retry remains as the backstop."""
+    global _gen
     if not TIMEOUT_S:
         return con.execute(sql).df()
     for attempt in (1, 2):
+        with _gen_lock:
+            _gen += 1
+            my_gen = _gen
         fired = threading.Event()
 
         def _interrupt():
-            fired.set()
-            con.interrupt()
+            with _gen_lock:
+                if _gen != my_gen:
+                    return  # stale timer: its query already finished
+                fired.set()
+                con.interrupt()
 
         timer = threading.Timer(TIMEOUT_S, _interrupt)
         timer.start()
         try:
-            return con.execute(sql).df()
+            res = con.execute(sql).df()
+            with _gen_lock:
+                _gen += 1  # invalidate this attempt's timer immediately
+            return res
         except INTERRUPT_EXC:
             if fired.is_set():
                 raise OracleTimeout()
