@@ -421,6 +421,40 @@ object AnalyticsEntries {
         .select(col("key"), round(col("bal"), 4).as("bal"), col("src"))
     }),
 
+    // MERGE INTO a BUCKETED base snapshot — same semantics (and oracle)
+    // as ext_merge_upsert, but the base lives in the layout Cdc's scale
+    // notes promise: bucketed on the merge key with bucket count ==
+    // spark.sql.shuffle.partitions, so the compacted delta arrives from
+    // its own compaction groupBy already hash-partitioned on the key and
+    // the full-outer join runs with ZERO exchange anywhere — the base is
+    // read co-located and the delta's single compaction shuffle is the
+    // whole data movement. At 100 TB this is how a snapshot absorbs a
+    // daily delta: bucketing is a one-time layout cost amortized over
+    // every subsequent merge; the merge itself never re-shuffles the
+    // snapshot. (Plan pinned by PlanAuditSpec's bucketed-merge test.)
+    "ext_merge_upsert_bucketed" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val wh = s"/root/repo/target/warehouse/$sf"
+      graft.prepare.Bucketing.writeBucketed(s,
+        tbl(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal")),
+        s"merge_base_bkt_$sf", "key",
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        s"$wh/merge_base_bkt")
+      val base = s.table(s"merge_base_bkt_$sf")
+      val delta = Cdc.latestPerKeyAgg(tbl(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          Seq("o_orderstatus", "o_totalprice"))
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("o_totalprice").as("new_bal"))
+      Cdc.mergeUpsert(base, delta, "key", "op", "D",
+          Seq("bal" -> ("bal", "new_bal")))
+        .select(col("key"), round(col("bal"), 4).as("bal"), col("src"))
+    }),
+
     // SCD type-2 dimension build: one row per change with effective-dated
     // [valid_from, valid_to) intervals via lead(); the open interval is
     // the current version. Ordered on epoch seconds (both engines
@@ -640,6 +674,25 @@ object AnalyticsEntries {
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
     "ext_merge_upsert" ->
+      """WITH delta AS (
+           SELECT o_custkey AS key,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders)
+           WHERE rn = 1),
+         base AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer
+                  WHERE c_custkey % 3 <> 0)
+         SELECT coalesce(d.key, b.key) AS key,
+           round(CASE WHEN d.key IS NOT NULL THEN d.new_bal ELSE b.bal END, 4)
+             AS bal,
+           CASE WHEN d.key IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+         FROM base b FULL OUTER JOIN delta d ON b.key = d.key
+         WHERE d.op IS NULL OR d.op <> 'D'""",
+    // identical semantics to ext_merge_upsert — the bucketed layout is a
+    // physical-plan property, invisible to the logical result
+    "ext_merge_upsert_bucketed" ->
       """WITH delta AS (
            SELECT o_custkey AS key,
              CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,

@@ -56,7 +56,8 @@ object Bench {
     "join_shuffle_fact", "join_broadcast_dim",
     "ext_window_topk_per_group", "ext_asof_join", "ext_moving_avg",
     "ext_rollup", "sessionize",
-    "ext_cdc_compact", "ext_merge_upsert", "ext_funnel")
+    "ext_cdc_compact", "ext_merge_upsert", "ext_merge_upsert_bucketed",
+    "ext_funnel")
 
   /** LLM-pipeline headline set — dedup, ANN, text scoring, packing;
     * builds (and legitimately reuses) the shared prepare-once tables. */

@@ -172,7 +172,10 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = graft.prepare.Bucketing.bucketedJoin(
         spark, "li_bkt_spec", "ord_bkt_spec", "o_orderkey")
-      val plan = joined.queryExecution.sparkPlan.toString
+      // executed plan: exchanges only exist post-EnsureRequirements, so
+      // asserting their absence on sparkPlan would be vacuous
+      joined.collect()
+      val plan = finalPlan(joined)
       assert(!plan.contains("Exchange"), plan)
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
       assert(plan.contains("Bucketed: true"), plan)
@@ -183,6 +186,29 @@ class PlanAuditSpec extends SparkSpec {
           Seq("o_orderkey")).count()
       assert(joined.count() == expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed-base merge/upsert: zero exchange on the base side") {
+    // the 100 TB merge plan Cdc's scale notes promise: the snapshot is
+    // bucketed on the merge key (bucket count == shuffle partitions), so
+    // the full-outer join reads the base co-located and the only data
+    // movement in the whole plan is the delta's own compaction shuffle
+    // exchanges only exist post-EnsureRequirements, so audit the
+    // EXECUTED (AQE-final) plan — sparkPlan never contains them
+    val df = SparkEntry.queries("ext_merge_upsert_bucketed")(spark, sfDir)
+    df.collect()
+    val plan = finalPlan(df)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("FullOuter"), plan)
+    // exactly one exchange in the whole executed plan, and it is the
+    // delta's own compaction shuffle (keyed on o_custkey) — the bucketed
+    // base is never re-shuffled
+    val exch = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.size == 1,
+      s"expected 1 exchange (delta compaction), got ${exch.size}:\n$plan")
+    assert(exch.head.contains("o_custkey"),
+      s"the single exchange is not the delta compaction:\n${exch.head}")
   }
 
   test("runtime Bloom-filter join pruning fires for a selectively-filtered build side") {

@@ -27,7 +27,8 @@ HEADLINE = [
     "tpch_q5", "tpch_q10", "tpch_q9", "tpch_q13", "tpch_q21",
     "join_shuffle_fact", "join_broadcast_dim", "ext_window_topk_per_group",
     "ext_asof_join", "ext_moving_avg", "ext_rollup", "sessionize",
-    "ext_cdc_compact", "ext_merge_upsert", "ext_funnel", "dedup_minhash",
+    "ext_cdc_compact", "ext_merge_upsert", "ext_merge_upsert_bucketed",
+    "ext_funnel", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_ngram_blocked", "dedup_clusters",
     "dedup_substrings", "pipeline_curate_pack", "ann_brute_topk",
     "ann_ivf_topk", "text_quality", "text_gopher_rules", "ext_pack_sequences",
