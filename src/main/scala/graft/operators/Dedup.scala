@@ -156,29 +156,55 @@ object Dedup {
     val o1 = (w - 1) / 3
     val o2 = 2 * (w - 1) / 3
     val o3 = w - 1
-    // h < 2^31 and the coefficient sum < 2^21, so k < 2^52 — inside
-    // ANSI long bounds
-    val keyed = toks
+    // (doc_id, pos) packed into ONE long for the keyed shuffle: doc_id
+    // in the high 39 bits, pos in the low 24 — two longs per position
+    // ride the exchange instead of a struct plus two ids, and because
+    // the doc id occupies the high bits, min/max of the packed value
+    // identify the min/max DOC directly (shiftright recovers it), so
+    // the distinct-doc filter needs no extra aggregate columns. Bounds:
+    // ids < 2^39 (~5.5e11 docs) and < 2^24 (~16.7M) tokens per doc —
+    // orders of magnitude beyond the corpus contract; both are layout
+    // constants of this operator, documented here because a silent
+    // overflow would corrupt grouping.
+    val PosBits = 24
+    val hashed = toks
       .select(col("doc_id"), col("n_g"), bound(col("t"))(t =>
         transform(t, x => pmod(xxhash64(x), lit(MersenneP)))).as("hs"))
-      .select(col("doc_id"), col("n_g"), posexplode(bound(col("hs"))(hs =>
-        transform(sequence(lit(1), size(hs) - lit(w - 1)), i =>
-          element_at(hs, i) * lit(1000003L) +
-            element_at(hs, i + o1) * lit(524287L) +
-            element_at(hs, i + o2) * lit(8191L) +
-            element_at(hs, i + o3) * lit(131L)))))
-      .withColumnRenamed("col", "k")
+    // h < 2^31 and the coefficient sum < 2^21, so k < 2^52 — inside
+    // ANSI long bounds. When the replica pre-pass is OFF (n_g = 1
+    // everywhere), n_g is dropped from the shuffled row entirely.
+    def explodeKeys(d: DataFrame, extra: Seq[Column]): DataFrame = d
+      .select(extra :+ shiftleft(col("doc_id"), PosBits).as("__hi") :+
+        posexplode(bound(col("hs"))(hs =>
+          transform(sequence(lit(1), size(hs) - lit(w - 1)), i =>
+            element_at(hs, i) * lit(1000003L) +
+              element_at(hs, i + o1) * lit(524287L) +
+              element_at(hs, i + o2) * lit(8191L) +
+              element_at(hs, i + o3) * lit(131L)))): _*)
+      .select(extra :+ (col("__hi") + col("pos")).as("p") :+
+        col("col").as("k"): _*)
     // the single keyed shuffle: the multi-doc filter and the position
     // list ride the same exchange. A window survives if it occurs in
-    // two distinct keyed docs (mn != mx) OR in one doc that stands for
-    // a replica group of >= 2 copies.
-    val surv = keyed.groupBy(col("k"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
-        max(col("n_g")).as("mg"),
-        collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
-      .filter(col("mn") =!= col("mx") || col("mg") >= 2)
-      .select(explode(col("ps")).as("s"))
-      .select(col("s.doc_id").as("doc_id"), col("s.pos").as("pos"))
+    // two distinct keyed docs (min packed doc != max packed doc) OR in
+    // one doc that stands for a replica group of >= 2 copies.
+    val surv0 =
+      if (!usePrePass)
+        explodeKeys(hashed, Nil).groupBy(col("k"))
+          .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+            collect_list(col("p")).as("ps"))
+          .filter(shiftright(col("mn"), PosBits) =!=
+            shiftright(col("mx"), PosBits))
+      else
+        explodeKeys(hashed, Seq(col("n_g"))).groupBy(col("k"))
+          .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+            max(col("n_g")).as("mg"), collect_list(col("p")).as("ps"))
+          .filter(shiftright(col("mn"), PosBits) =!=
+            shiftright(col("mx"), PosBits) || col("mg") >= 2)
+    val surv = surv0
+      .select(explode(col("ps")).as("p"))
+      .select(shiftright(col("p"), PosBits).as("doc_id"),
+        col("p").bitwiseAND(lit((1L << PosBits) - 1)).cast(IntegerType)
+          .as("pos"))
     // positions grouped per doc so the final pass builds window strings
     // ONLY for surviving documents, off the persisted token table (the
     // corpus-wide branch above never builds a string)
