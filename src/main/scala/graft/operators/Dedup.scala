@@ -911,13 +911,26 @@ object Dedup {
                bCol: String = "b_id", maxIter: Int = 10,
                driverMaxEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Driver-UF fast path first: ONE bounded collect (limit pairsMax+1,
+    // the ResultCache cap idiom) — the pre-round-12 shape paid
+    // localCheckpoint + count + collect, three jobs re-materializing a
+    // pair table that is usually a persisted artifact scan, and was the
+    // single biggest per-execution cost of dedup_clusters /
+    // pipeline_curate_pack on the replica-heavy 10x fixture (979x more
+    // pairs than sf0.1). driverMaxEdges counts DIRECTED edges like the
+    // propagation path does, so the pair bound is half of it; union-find
+    // unions undirected pairs directly.
+    val pairsMax = (driverMaxEdges / 2).toInt
+    val firstPairs = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .limit(pairsMax + 1).collect()
+    if (firstPairs.length <= pairsMax)
+      return unionFindLocal(spark, firstPairs)
     // materialize the PAIRS once (before the union duplicates the
-    // lineage): neither the propagation rounds nor the collect may
-    // re-execute the pair-generation pipeline upstream
+    // lineage): the propagation rounds may not re-execute the
+    // pair-generation pipeline upstream
     val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint(true)
     val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
-    if (edges.count() <= driverMaxEdges) return unionFindLocal(spark, edges)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var iter = 0
@@ -960,11 +973,11 @@ object Dedup {
     labels
   }
 
-  /** Exact union-find (path compression + union-by-min-root) over a
-    * collected edge list; returns the same (id, cluster_id) schema as
-    * the distributed path. */
+  /** Exact union-find (path compression + union-by-min-root) over an
+    * already-collected UNDIRECTED pair list; returns the same
+    * (id, cluster_id) schema as the distributed path. */
   private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
-                             edges: DataFrame): DataFrame = {
+                             pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -973,7 +986,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    edges.select(col("u"), col("v")).collect().foreach { row =>
+    pairRows.foreach { row =>
       val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
       if (ru != rv) { // min root wins -> cluster_id is the component min
         if (ru < rv) parent(rv) = ru else parent(ru) = rv
