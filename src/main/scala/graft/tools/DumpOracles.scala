@@ -1,0 +1,29 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: write SparkEntry.oracleSql to <outDir>/oracle_sql.json
+  * WITHOUT executing any query — tools/bench_oracle.py only needs the
+  * SQL map, so scale-fixture DuckDB timing runs don't have to pay a
+  * full graft.Verify dump first.
+  * Usage: runMain graft.tools.DumpOracles <outDir> */
+object DumpOracles {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.length > 0) args(0) else "/root/repo/target/verify_out"
+    new java.io.File(outDir).mkdirs()
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .map { case (n, sql) => s"${q(n)}: ${q(sql)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"wrote $outDir/oracle_sql.json")
+  }
+}
