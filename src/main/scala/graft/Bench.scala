@@ -92,7 +92,17 @@ object Bench {
     val qs = SparkEntry.queries
     def timeOne(name: String): Double = {
       val start = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
+      // Execute the query AS WRITTEN: a DataFrame .count() lets Catalyst
+      // prune every cardinality-preserving projection/window, so a
+      // SELECT-shaped entry times a bare parquet row count (caught at
+      // sf10 in round 12: text_quality "0.13 s" was a pruned scan while
+      // the DuckDB side's fetchall paid 45 s of real scoring — and the
+      // same held for gopher_rules, moving_avg, pack_sequences at every
+      // scale). toRdd executes the full physical plan — every column of
+      // every row materializes (UnsafeRow) — without collecting results
+      // to the driver, matching the oracle's full-materialization
+      // protocol.
+      try { qs(name)(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - start) / 1e9

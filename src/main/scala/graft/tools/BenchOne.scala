@@ -13,11 +13,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
-      qs(name)(spark, sfDir).count() // untimed JIT + artifact warmup
+      qs(name)(spark, sfDir).queryExecution.toRdd.count() // untimed JIT + artifact warmup
       val times = (1 to passes).map { _ =>
         graft.operators.Dedup.releaseIntermediates()
         val t0 = System.nanoTime()
-        qs(name)(spark, sfDir).count()
+        qs(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-28s min=${times.min}%.3f passes=" +

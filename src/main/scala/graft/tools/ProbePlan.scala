@@ -9,10 +9,10 @@ object ProbePlan {
     val spark = graft.GraftSession.create("probe-plan")
     val df = graft.SparkEntry.queries(entry)(spark, dir)
     val t0 = System.nanoTime()
-    df.count()
+    df.queryExecution.toRdd.count()
     println(f"PP $entry first ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val t1 = System.nanoTime()
-    graft.SparkEntry.queries(entry)(spark, dir).count()
+    graft.SparkEntry.queries(entry)(spark, dir).queryExecution.toRdd.count()
     println(f"PP $entry warm ${(System.nanoTime() - t1) / 1e9}%.3f s")
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

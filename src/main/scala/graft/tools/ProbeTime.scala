@@ -13,7 +13,7 @@ object ProbeTime {
     names.foreach { name =>
       val timings = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"TIME $name ${timings.map(t => f"$t%.3f").mkString(" ")}")

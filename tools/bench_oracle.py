@@ -107,9 +107,15 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
+# ORACLE_BENCH_ONLY: comma-separated subset (mirrors Bench's
+# SPARK_GRAFT_BENCH_ONLY for scale fixtures where the pair-family
+# oracles are known DNFs); empty = full headline.
+ONLY = set(x.strip() for x in
+           os.environ.get("ORACLE_BENCH_ONLY", "").split(",") if x.strip())
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 times = {}
-for name in HEADLINE:
+for name in (n for n in HEADLINE if not ONLY or n in ONLY):
     sql = oracle.get(name)
     if sql is None:
         times[name] = None
