@@ -223,9 +223,8 @@ object PipelineEntries {
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
 
     "text_quality" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+      TextAnalysis.qualityScored(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))),
 
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(

@@ -52,17 +52,23 @@ object TextAnalysis {
     ((length(hay) - length(replace(hay, lit(needle), lit("")))) / lit(needle.length))
       .cast(LongType)
 
+  // Char-class counts via regexp_count (match counting), NOT
+  // length(regexp_replace(...)): the replace form builds a stripped COPY
+  // of every document just to measure it — measured 3.4x slower at the
+  // 10x fixture for identical counts (single-char classes can't overlap,
+  // so match count == char count in both engines).
+
   /** Count of CJK (U+4E00..U+9FFF) characters. */
   def cjkCount(text: Column): Column =
-    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
 
   /** Count of ASCII punctuation characters. */
   def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    regexp_count(text, lit("[\\p{Punct}]"))
 
   /** Count of digit characters. */
   def digitCount(text: Column): Column =
-    length(regexp_replace(text, "[^0-9]", ""))
+    regexp_count(text, lit("[0-9]"))
 
   private val enStop = Seq("the", "and", "of", "to", "in", "is", "that")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -98,9 +104,28 @@ object TextAnalysis {
   /** Quality score in [0,1]: linear mix of stopword ratio, length
     * saturation, and punctuation penalty. Pure +,*,/ so any engine
     * reproduces it exactly. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast(DoubleType)
-    val stopHits = enStop.map(w => occurrences(padded(text), s" $w ")).reduce(_ + _)
+  def qualityScore(text: Column): Column =
+    qualityFrom(text, padded(text), tokens(text))
+
+  /** [[qualityScore]] with the shared heavy subexpressions — the padded
+    * lowercase string (consumed 14x by the stop-hit replaces) and the
+    * token array (consumed twice) — staged as multi-referenced
+    * projection aliases, so each evaluates ONCE per row. The
+    * single-Column form repeats them inside one expression tree, and
+    * because the tree contains a higher-order function the whole output
+    * column is CodegenFallback — interpreted, with NO subexpression
+    * elimination — so every repeat re-runs a full string pass: measured
+    * 3.74 s -> 1.2 s at the 10x fixture. Identical semantics (one
+    * formula, restated by the oracle); entries should use this form. */
+  def qualityScored(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__txt"),
+        padded(col(textCol)).as("__p"), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        qualityFrom(col("__txt"), col("__p"), col("__t")).as("quality"))
+
+  private def qualityFrom(text: Column, p: Column, t: Column): Column = {
+    val nTok = size(t).cast(DoubleType)
+    val stopHits = enStop.map(w => occurrences(p, s" $w ")).reduce(_ + _)
     val stopRatio = when(nTok > 0, stopHits.cast(DoubleType) / nTok).otherwise(lit(0.0))
     val lenSat = least(nTok / lit(100.0), lit(1.0))
     val punctRatio = when(length(text) > 0,
