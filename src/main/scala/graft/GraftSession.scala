@@ -36,6 +36,11 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // root log level from context START (setLogLevel only applies
+      // after init): keeps the ~90 lines of startup INFO out of the
+      // driver's BENCH tail capture, where they crowded the one-line
+      // JSON artifact (round-11 cosmetic finding)
+      .config("spark.log.level", "WARN")
       .config("spark.ui.enabled", "false")
 
   /** Standard session: cores from SPARK_GRAFT_CPUS (default 32, matching
