@@ -44,6 +44,10 @@ object ProbeText {
     timeIt("alpha-count")(docs.select(size(filter(
       TextAnalysis.tokens(col("text")),
       w => regexp_count(w, lit("[A-Za-z]")) > 0)).as("a")))
+    val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    timeIt("alpha-translate")(docs.select(size(filter(
+      TextAnalysis.tokens(col("text")),
+      w => length(translate(w, letters, "")) < length(w))).as("a")))
     timeIt("quality-full")(docs.select(
       round(TextAnalysis.qualityScore(col("text")), 4).as("q")))
     timeIt("quality-staged")(
