@@ -437,8 +437,15 @@ class PlanAuditSpec extends SparkSpec {
     }
     // and the per-order profile aggregates run on the join's partitioning:
     // the only hash exchanges are the two join inputs plus the final
-    // s_name aggregation
-    val exch = plan.linesIterator
+    // s_name aggregation. Exchanges only exist post-EnsureRequirements,
+    // so this part runs the EXECUTED plan — and against sf0.01, where
+    // q21 returns rows (3 at that scale), because at sf0.001 the empty
+    // result lets AQE collapse the plan and the bound would be vacuous
+    // (the pre-round-12 form counted exchanges on sparkPlan, where the
+    // count is zero by construction).
+    val df01 = SparkEntry.queries("tpch_q21")(spark, "/root/testdata/sf0.01")
+    assert(df01.collect().nonEmpty, "q21 empty at sf0.01 — exchange audit vacuous")
+    val exch = finalPlan(df01).linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exch.size <= 3, s"expected <=3 shuffles:\n${exch.mkString("\n")}")
   }
