@@ -308,22 +308,36 @@ object AnalyticsEntries {
     }),
 
     // ordered funnel: signup -> first later click -> first later purchase.
-    // Each stage is one grouped MIN + one equi-join on user_id (never a
-    // per-event sequence scan), so stage cost is a hash-agg shuffle
-    // regardless of per-user event counts — the event-analytics staple.
+    // ONE fact scan + ONE wide shuffle: a single groupBy(user_id) collects
+    // t1 = min signup ts plus the per-user click/purchase ts arrays
+    // (map-side partials; per-user arrays are small — bounded by a user's
+    // own event count, never the corpus). t2/t3 then derive locally via
+    // array_min(filter(...)). The old shape re-scanned events three times
+    // and paid three keyed shuffles + two joins; at 100x the fact table
+    // that is 3 scans and 4 exchanges where 1+1 suffice (round-13 fix).
+    // t2 is a projection alias referenced twice (guard + lambda), so
+    // CollapseProject keeps it staged and the interpreted HOF lambda for
+    // t3 compares against a bound attribute, never re-deriving t2 per
+    // element (CLAUDE.md HOF-staging invariant).
     "ext_funnel" -> ((s, dir) => {
-      val e = events(s, dir)
-      val sgn = e.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val clk = e.filter(col("event_type") === "click")
-        .join(sgn, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val pur = e.filter(col("event_type") === "purchase")
-        .join(clk, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      sgn.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(broadcast(clk.agg(count(lit(1)).as("n_click"))))
-        .crossJoin(broadcast(pur.agg(count(lit(1)).as("n_purchase"))))
+      val per = events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          collect_list(when(col("event_type") === "click", col("ts")))
+            .as("clicks"),
+          collect_list(when(col("event_type") === "purchase", col("ts")))
+            .as("purchases"))
+        .filter(col("t1").isNotNull)
+      per
+        .withColumn("t2",
+          array_min(filter(col("clicks"), x => x > col("t1"))))
+        .withColumn("t3",
+          when(col("t2").isNotNull,
+            array_min(filter(col("purchases"), x => x > col("t2")))))
+        .agg(count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"))
     }),
 
     // day-over-day retention: users active on d AND d+1, per day. One

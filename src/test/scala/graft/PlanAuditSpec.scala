@@ -490,6 +490,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("funnel: one fact scan + one wide shuffle (fused groupBy form)") {
+    // round-13 fix of r12's only `weak` entry: the staged 3-filter/2-join
+    // funnel paid three events scans and four keyed exchanges; the fused
+    // form collects per-type ts structures in ONE groupBy(user_id), so
+    // the executed plan carries exactly one hash exchange (the user_id
+    // shuffle) ahead of the 1-row global-count SinglePartition exchange.
+    val df = SparkEntry.queries("ext_funnel")(spark, sfDir)
+    df.collect()
+    val plan = finalPlan(df)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(scans == 1, s"events scanned $scans times:\n$plan")
+    val exch = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.size == 1 && exch.head.contains("user_id"),
+      s"expected exactly one user_id exchange:\n${exch.mkString("\n")}\n$plan")
+    // and the event-type membership filter reaches the parquet scan
+    assert(plan.contains("In(event_type"), plan)
+  }
+
   test("dedup explode path carries no vacuous inferred generate-filter") {
     val pairs = graft.operators.Dedup.minhashPairs(
       graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet"),
