@@ -2,42 +2,76 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-/** Streaming throughput bench: drives the finite-input streaming entries
-  * (Trigger.AvailableNow over the fixture parquet) and records wall
-  * clock + input rows/s per shape — the round-11 review noted the 8
-  * stream_* entries had correctness verdicts but no performance
-  * artifact. AvailableNow processes the whole input as one micro-batch
-  * run and stops, so elapsed time ≈ end-to-end batch latency for that
-  * input and rows/s = input rows / elapsed (state ops included:
-  * watermarked window agg, dropDuplicatesWithinWatermark,
-  * flatMapGroupsWithState sessionization, last-write upsert, checkpointed
-  * near-dup gate).
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming performance bench, two artifacts:
+  *
+  * 1. Throughput (`target/stream_bench.json`): drives the finite-input
+  *    streaming entries (Trigger.AvailableNow over the fixture parquet)
+  *    and records wall clock + input rows/s per shape. AvailableNow
+  *    processes the whole input and stops, so elapsed ≈ end-to-end batch
+  *    latency for that input and rows/s = input rows / elapsed (state
+  *    ops included: watermarked window agg,
+  *    dropDuplicatesWithinWatermark, flatMapGroupsWithState
+  *    sessionization, last-write upsert, checkpointed near-dup gate).
+  *    Entries with PERSISTENT checkpoints (stream_upsert,
+  *    stream_dedup_near) get their checkpoint + sink dirs deleted before
+  *    EVERY pass, warm included — with the checkpoint left in place,
+  *    AvailableNow finds zero new files and each "timed" pass would be a
+  *    no-op batch plus a sink re-read (round-12 advice; same integrity
+  *    bug class as the toRdd protocol fix).
+  *
+  * 2. Steady-state latency (`target/stream_latency.json`): the
+  *    watermarked window agg and the FMGWS sessionizer run under
+  *    Trigger.ProcessingTime with maxFilesPerTrigger=1 over a 16-file
+  *    staging of events, recording the per-micro-batch triggerExecution
+  *    duration distribution (p50/p95) — the round-12 review noted
+  *    AvailableNow throughput says nothing about micro-batch latency
+  *    under a real trigger.
+  *
   * Usage: runMain graft.tools.BenchStream [sfDir] [passes]
-  * Output: one JSON line + target/stream_bench.json. */
+  */
 object BenchStream {
+
+  private def deleteRec(path: java.io.File): Unit = {
+    if (path.isDirectory) path.listFiles().foreach(deleteRec)
+    path.delete()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 3
     val spark = graft.GraftSession.builder("32").appName("bench-stream").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val sfName = new java.io.File(sfDir).getName
     val inputRows = graft.sources.ParquetNanos
       .read(spark, s"$sfDir/events.parquet").count()
     val docRows = graft.sources.ParquetNanos
       .read(spark, s"$sfDir/documents.parquet").count()
 
-    // (entry, input-row base for rows/s)
-    val shapes: Seq[(String, Long)] = Seq(
-      "stream_window_agg" -> inputRows,
-      "stream_dedup" -> inputRows,
-      "stream_upsert" -> inputRows,
-      "stream_sessionize" -> inputRows,
-      "stream_dedup_near" -> docRows)
+    // (entry, input-row base for rows/s, state dirs reset before EVERY
+    // pass — checkpoint+sink only, never the staged input fixtures)
+    val shapes: Seq[(String, Long, Seq[String])] = Seq(
+      ("stream_window_agg", inputRows, Nil),
+      ("stream_dedup", inputRows, Nil),
+      ("stream_upsert", inputRows,
+        Seq(s"/root/repo/target/tmp/stream_upsert_$sfName")),
+      ("stream_sessionize", inputRows, Nil),
+      ("stream_dedup_near", docRows,
+        Seq(s"/root/repo/target/tmp/stream_dedup_near_$sfName")))
 
     val qs = graft.SparkEntry.queries
-    val results = shapes.map { case (name, rows) =>
+    val results = shapes.map { case (name, rows, resetDirs) =>
+      def reset(): Unit =
+        resetDirs.map(new java.io.File(_)).filter(_.exists()).foreach(deleteRec)
+      reset()
       qs(name)(spark, sfDir).queryExecution.toRdd.count() // warm (JIT + source listing)
       val times = (1 to passes).map { _ =>
+        reset()
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
@@ -56,6 +90,73 @@ object BenchStream {
       s""""sf":"$sfDir"}"""
     Files.writeString(Paths.get("target/stream_bench.json"), json + "\n")
     println(json)
+
+    latencyPhase(spark, sfDir, sfName)
     spark.stop()
+  }
+
+  /** Steady-state micro-batch latency under Trigger.ProcessingTime:
+    * 16 staged files x maxFilesPerTrigger=1 -> 16 real micro-batches;
+    * per-batch latency is the progress log's triggerExecution duration
+    * (includes source listing, state store commit, and sink write). */
+  private def latencyPhase(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, sfName: String): Unit = {
+    import spark.implicits._
+    val stageDir = new java.io.File(s"/root/repo/target/tmp/events_stream16_$sfName")
+    if (!stageDir.exists()) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+        .repartitionByRange(16, col("event_id"))
+        .write.mode("overwrite").parquet(stageDir.toString)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+
+    def run(name: String, build: () => org.apache.spark.sql.DataFrame,
+            mode: OutputMode): (String, Double, Double, Int) = {
+      val q = build().writeStream.format("memory")
+        .queryName(s"lat_$name").outputMode(mode)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      val durs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong / 1e3)
+        .sorted
+      q.stop()
+      spark.catalog.dropTempView(s"lat_$name")
+      def pct(p: Double): Double =
+        durs(math.max(0, math.min(durs.size - 1,
+          math.ceil(p * durs.size).toInt - 1)))
+      val (p50, p95) = (pct(0.5), pct(0.95))
+      System.err.println(
+        f"$name%-24s batches=${durs.size} p50=$p50%.3f s p95=$p95%.3f s")
+      (name, p50, p95, durs.size)
+    }
+
+    val rows = Seq(
+      run("window_agg",
+        () => graft.streaming.StreamOps.windowedAgg(src), OutputMode.Update()),
+      run("sessionize",
+        () => graft.streaming.StreamOps.sessionizeStream(
+          src.select(col("user_id"), col("ts"))
+            .as[graft.streaming.StreamOps.SessionEvent]).toDF(),
+        OutputMode.Append()))
+    val json = "{" +
+      "\"metric\":\"stream_latency\",\"unit\":\"sec\"," +
+      "\"trigger\":\"ProcessingTime 200ms, maxFilesPerTrigger=1 of 16\"," +
+      "\"p50\":{" + rows.map { case (n, p50, _, _) =>
+        "\"" + n + "\":" + f"$p50%.3f" }.mkString(",") + "}," +
+      "\"p95\":{" + rows.map { case (n, _, p95, _) =>
+        "\"" + n + "\":" + f"$p95%.3f" }.mkString(",") + "}," +
+      "\"batches\":{" + rows.map { case (n, _, _, b) =>
+        "\"" + n + "\":" + b }.mkString(",") + "}," +
+      s""""sf":"$sfDir"}"""
+    Files.writeString(Paths.get("target/stream_latency.json"), json + "\n")
+    println(json)
   }
 }
