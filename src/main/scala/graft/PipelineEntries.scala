@@ -71,7 +71,7 @@ object PipelineEntries {
     * Dedup / Similarity / this file): the version is part of the on-disk
     * path, so parquet written by an older build is never silently reused
     * across JVMs — the gates would otherwise validate stale results. */
-  private val ArtifactVersion = 4
+  private val ArtifactVersion = 5
   private def artifactPath(dir: String, name: String): String =
     s"target/prepared/pipeline/v$ArtifactVersion/" +
       s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"
@@ -155,12 +155,15 @@ object PipelineEntries {
     artifact(s, dir, "pairs_j05")(
       Dedup.jaccardFromPairCounts(docPairCounts(s, dir), threshold = 0.5))
 
-  /** Shingle document-frequency table (Dedup.shingleDocFreq over
-    * [[docSigs]]): the blocked jaccard's candidate filter and the
-    * stop-shingle profile both read this |vocab| table. */
+  /** Shingle document-frequency table over the exact-text
+    * REPRESENTATIVES of [[docSigs]] (Dedup.repSignatures): the blocked
+    * jaccard's candidate filter and the stop-shingle profile both read
+    * this |vocab| table. Rep-based since round 13 — the blocked
+    * contract counts df over distinct-text representatives, so replica
+    * factors never inflate a shingle past dfCap. */
   private def docShingleDf(s: SparkSession, dir: String): DataFrame =
     artifact(s, dir, "shingle_df")(
-      Dedup.shingleDocFreq(docSigs(s, dir)))
+      Dedup.shingleDocFreq(Dedup.repSignatures(docSigs(s, dir))._2))
 
   /** IVF index (Lloyd-trained centroids + bucketed corpus) — index
     * TRAINING is prepare-phase work written once per corpus
@@ -2019,32 +2022,53 @@ object PipelineEntries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
 
+    // rep-based contract (round 13): df + candidates over exact-text
+    // representatives; within-group pairs at jaccard 1.0; cross-group
+    // member pairs inherit the representatives' jaccard
     "dedup_ngram_blocked" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-             x -> x <> '') AS t FROM documents),
+      """WITH dg AS (SELECT doc_id, md5(text) AS g FROM documents),
+         grp AS (SELECT g, min(doc_id) AS rep FROM dg GROUP BY 1),
+         toks AS (
+           SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+             x -> x <> '') AS t
+           FROM documents d JOIN grp ON grp.rep = d.doc_id),
          sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t)-2),
                i -> array_to_string(list_slice(t, i, i+2), ' '))
              ELSE [array_to_string(t, ' ')] END) AS sh
            FROM toks),
-         inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         dfc AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
-         inv2 AS (SELECT inv.doc_id, inv.g FROM inv JOIN dfc USING (g)
+         inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         dfc AS (SELECT s, count(*) AS c FROM inv GROUP BY s),
+         inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN dfc USING (s)
                   WHERE c BETWEEN 2 AND 10),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id),
+                  FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id),
          wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
                  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-                             JOIN sh sb ON sb.doc_id = c.b_id)
-         SELECT a_id, b_id,
-           round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
-             / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))), 4)
-             AS jaccard
-         FROM wsh
-         WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
-             / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= 0.3""",
+                             JOIN sh sb ON sb.doc_id = c.b_id),
+         reppairs AS (
+           SELECT a_id, b_id,
+             round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+               / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))), 4)
+               AS jaccard
+           FROM wsh
+           WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+               / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= 0.3),
+         internal AS (
+           SELECT ma.doc_id AS a_id, mb.doc_id AS b_id,
+             CAST(1.0 AS DOUBLE) AS jaccard
+           FROM dg ma JOIN dg mb ON ma.g = mb.g AND ma.doc_id < mb.doc_id),
+         crossp AS (
+           SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+                  greatest(ma.doc_id, mb.doc_id) AS b_id, p.jaccard
+           FROM reppairs p
+           JOIN dg ra ON ra.doc_id = p.a_id
+           JOIN dg rb ON rb.doc_id = p.b_id
+           JOIN dg ma ON ma.g = ra.g
+           JOIN dg mb ON mb.g = rb.g)
+         SELECT a_id, b_id, jaccard FROM internal
+         UNION ALL SELECT a_id, b_id, jaccard FROM crossp""",
 
     "dedup_prefix" ->
       """WITH toks AS (

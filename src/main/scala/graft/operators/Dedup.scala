@@ -383,12 +383,7 @@ object Dedup {
     // [[signatures]] tables carry the md5-of-text `g` from the
     // once-per-corpus scan; a bare (id, hs) input derives a sorted-set
     // digest here instead.
-    val withG =
-      if (hs.columns.contains("g")) hs
-      else pooledPersist(hs.select(col("id"), col("hs"),
-        md5(to_binary(concat_ws(",", bound(col("hs"))(h =>
-            transform(array_sort(h), x => x.cast(StringType)))),
-          lit("utf-8"))).as("g")))
+    val withG = withSetDigest(hs)
 
     /** Banding + exact-jaccard verification over `sigs` (id, hs).
       * Signature via the RELATIONAL formulation: explode the hash set
@@ -465,18 +460,12 @@ object Dedup {
     }
     if (!usePrePass) return bandedVerify(withG)
 
-    // rep selection is a NARROW aggregate (g, id only); persisted so the
-    // semi-join and the expansion reuse one materialization.
-    val rep = pooledPersist(withG.select(col("g"), col("id"))
-      .groupBy(col("g"))
-      .agg(min(col("id")).as("id"), count(lit(1)).as("cnt")))
-
-    // the rep signature rows come from a join the tiny rep side
-    // broadcasts into, streamed off the (session-persisted artifact)
-    // signature table. Persisted: the explode and both verify-join
-    // sides of bandedVerify consume repSigs.
-    val repSigs = pooledPersist(
-      withG.select(col("id"), col("hs")).join(rep.select(col("id")), "id"))
+    // rep selection is a NARROW aggregate (g, id only); the rep
+    // signature rows come from a join the tiny rep side broadcasts into,
+    // streamed off the (session-persisted artifact) signature table.
+    // Both persisted ([[repSignatures]]): the explode and both
+    // verify-join sides of bandedVerify consume repSigs.
+    val (rep, repSigs) = repSignatures(withG)
     val repPairs = bandedVerify(repSigs)
     // ---- expansion back over replica groups ---------------------------
     // within a group: every pair, jaccard exactly 1.0 (identical sets —
@@ -502,6 +491,20 @@ object Dedup {
       .select(least(col("xa"), col("xb")).as("a_id"),
         greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
     internal.unionByName(cross)
+  }
+
+  /** Ensure a signature table carries a set-equality digest column `g`:
+    * [[signatures]] tables bring the md5-of-text digest from the
+    * once-per-corpus scan; a bare (id, hs) input derives a sorted-set
+    * digest (any digest implying shingle-set equality is a correct
+    * grouping key for the exact-replica pre-passes). */
+  private def withSetDigest(hs: DataFrame): DataFrame = {
+    import graft.functions.Staging.bound
+    if (hs.columns.contains("g")) hs
+    else pooledPersist(hs.select(col("id"), col("hs"),
+      md5(to_binary(concat_ws(",", bound(col("hs"))(h =>
+          transform(array_sort(h), x => x.cast(StringType)))),
+        lit("utf-8"))).as("g")))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -711,16 +714,54 @@ object Dedup {
   /** The |vocab| shingle document-frequency table over a [[signatures]]
     * table — a prepare-once artifact: callers running the blocked
     * operator more than once per corpus should build this once, persist
-    * or write it, and pass it to [[ngramJaccardPairsBlockedFromSigs]]. */
+    * or write it, and pass it to [[ngramJaccardPairsBlockedFromSigs]].
+    * For the blocked operator the input must be the REPRESENTATIVE
+    * signature table ([[repSignatures]]): the blocked contract counts
+    * document frequency over distinct-text representatives. */
   def shingleDocFreq(sigs: DataFrame): DataFrame =
     sigs.select(col("id"), explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
+
+  /** Exact-replica collapse of a signature table: one representative
+    * (min id) per text-digest group. Returns (rep = (g, id, cnt),
+    * repSigs = (id, hs) restricted to representatives), both pooled
+    * persists — the quadratic consumers read each more than once. */
+  def repSignatures(sigs: DataFrame): (DataFrame, DataFrame) = {
+    val withG = withSetDigest(sigs)
+    val rep = pooledPersist(withG.select(col("g"), col("id"))
+      .groupBy(col("g"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("cnt")))
+    val repSigs = pooledPersist(
+      withG.select(col("id"), col("hs")).join(rep.select(col("id")), "id"))
+    (rep, repSigs)
+  }
 
   def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,
                                        threshold: Double = 0.3,
                                        dfCap: Int = 50,
                                        docFreq: Option[DataFrame] = None): DataFrame = {
-    val hs = sigs.select(col("id"), col("hs"))
+    // ---- exact-replica pre-pass (always on) ---------------------------
+    // The df basis AND the candidate universe are the exact-text
+    // representatives (min id per text digest): replicas inflate every
+    // shared shingle's document frequency by the replica factor, so on a
+    // replica-heavy corpus (every real crawl; the sf10 stress fixture at
+    // factor 100) EVERY shingle blows past dfCap and the candidate set
+    // collapses to empty while the index build cost remains — the
+    // round-12 review's one documented cap. Collapsing first keeps df
+    // meaningful (distinct-text df), divides the quadratic candidate
+    // join by the replica factor, and the expansion below restores the
+    // full pair set: within-group pairs are exact replicas (jaccard 1.0
+    // by set identity), cross-group member pairs inherit their
+    // representatives' jaccard (identical shingle sets). Unlike the
+    // minhash pre-pass this CHANGES the blocking contract (rep-df, not
+    // raw df), so it is unconditionally on — a data-dependent gate would
+    // make the pair set depend on corpus statistics — and the oracle
+    // restates the same rep-based contract verbatim.
+    val withG = withSetDigest(sigs)
+    val (rep, repSigs) = repSignatures(withG)
+    val members = withG.select(col("g"), col("id"))
+
+    val hs = repSigs.select(col("id"), col("hs"))
     val inv = hs.select(col("id"), explode(col("hs")).as("g"))
     // |vocab|-sized; BOTH the rare-candidate filter and the stop-shingle
     // profile consume it — one corpus-scale aggregation pass instead of
@@ -768,13 +809,34 @@ object Dedup {
       col("stop").as("a_stop"))
     val b = prof.select(col("id").as("b_id"), col("n_sh").as("b_n"),
       col("stop").as("b_stop"))
-    pairs.join(a, "a_id").join(b, "b_id")
+    val repPairs = pairs.join(a, "a_id").join(b, "b_id")
       .withColumn("shared", col("shared_rare") +
         size(array_intersect(col("a_stop"), col("b_stop"))))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (col("a_n") + col("b_n") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+
+    // ---- expansion back over replica groups ---------------------------
+    // same shape as the minhash pre-pass: groups are disjoint, so the
+    // union is duplicate-free.
+    val dupGroups = rep.filter(col("cnt") >= 2).select(col("g"))
+    val internal = members.join(dupGroups.hint("shuffle_hash"), "g")
+      .select(col("g"), col("id").as("xa"))
+      .join(members.select(col("g"), col("id").as("xb")).hint("shuffle_hash"),
+        "g")
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val repG = rep.select(col("id"), col("g"))
+    val cross = repPairs
+      .join(repG.select(col("id").as("a_id"), col("g").as("ga")), "a_id")
+      .join(repG.select(col("id").as("b_id"), col("g").as("gb")), "b_id")
+      .join(members.select(col("g").as("ga"), col("id").as("xa")), "ga")
+      .join(members.select(col("g").as("gb"), col("id").as("xb")), "gb")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
+    internal.unionByName(cross)
   }
 
   /** Exact-recall prefix-filtered Jaccard pairs (the PPJoin family,

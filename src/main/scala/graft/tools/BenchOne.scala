@@ -14,13 +14,14 @@ object BenchOne {
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
       qs(name)(spark, sfDir).queryExecution.toRdd.count() // untimed JIT + artifact warmup
+      var rows = 0L
       val times = (1 to passes).map { _ =>
         graft.operators.Dedup.releaseIntermediates()
         val t0 = System.nanoTime()
-        qs(name)(spark, sfDir).queryExecution.toRdd.count()
+        rows = qs(name)(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-28s min=${times.min}%.3f passes=" +
+      println(f"$name%-28s min=${times.min}%.3f rows=$rows passes=" +
         times.map(t => f"$t%.3f").mkString("[", ",", "]"))
     }
     spark.stop()
