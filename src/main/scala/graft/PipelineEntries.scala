@@ -41,11 +41,27 @@ object PipelineEntries {
     * identical sample; the MakeSfN fixtures offset replica ids by
     * multiples of 10^7, so an id-modulo sample keeps whole replica
     * groups together and the sampled corpus still contains near-dups. */
-  private def moduloCap(df: DataFrame, idCol: String, cap: Long): DataFrame = {
-    val n = df.count()
-    val m = if (n <= cap) 1L else (n + cap - 1) / cap
+  private[graft] def moduloCap(df: DataFrame, idCol: String, cap: Long,
+                               memoKey: Option[String] = None): DataFrame = {
+    // m is a corpus constant; `memoKey` callers (the entries, keyed per
+    // (session, sfDir, table)) pay the row-count job once per session
+    // instead of once per entry CONSTRUCTION — un-memoized, the eager
+    // count() landed inside Bench's timed region on every pass and in
+    // every Verify build (round-12 advice).
+    def computeM: Long = {
+      val n = df.count()
+      if (n <= cap) 1L else (n + cap - 1) / cap
+    }
+    val m = memoKey match {
+      case Some(k) => moduloCapMemo.computeIfAbsent(
+        df.sparkSession.sparkContext.applicationId + ":" + k + ":" + cap,
+        _ => java.lang.Long.valueOf(computeM)).longValue()
+      case None => computeM
+    }
     if (m == 1L) df else df.filter(pmod(col(idCol), lit(m)) === 0)
   }
+  private val moduloCapMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
 
   /** Shared pipeline intermediates as WRITTEN prepare artifacts.
     *
@@ -555,7 +571,7 @@ object PipelineEntries {
     // pairs; banding recall for hamming<=3 is GUARANTEED (pigeonhole over
     // 4 bands), so candidate pruning cannot change the output
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(moduloCap(docs(s, dir), "doc_id", 5000L),
+      Dedup.simhashPairs(moduloCap(docs(s, dir), "doc_id", 5000L, Some(dir + ":documents")),
           "doc_id", "text", maxHamming = 3,
           portableHash = true)
         .select(col("a_id"), col("b_id"),
@@ -582,13 +598,13 @@ object PipelineEntries {
     // exact-recall prefix-filtered pairs (PPJoin): the oracle is the
     // EXHAUSTIVE J>=0.7 pair set — passing proves zero recall loss
     "dedup_prefix" -> ((s, dir) =>
-      Dedup.prefixJaccardPairs(moduloCap(docs(s, dir), "doc_id", 5000L),
+      Dedup.prefixJaccardPairs(moduloCap(docs(s, dir), "doc_id", 5000L, Some(dir + ":documents")),
         "doc_id", "text", n = 3, threshold = 0.7)),
 
     // exact all-pairs cosine — the VERIFICATION BASELINE for the banded
     // LSH scale path below (O(N^2); never the production path)
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(moduloCap(embeddings(s, dir), "vec_id", 2000L),
+      Dedup.embeddingCosinePairs(moduloCap(embeddings(s, dir), "vec_id", 2000L, Some(dir + ":embeddings")),
         "vec_id", "embedding", threshold = 0.45)),
 
     // scale path: banded portable sign-LSH candidates + exact cosine
