@@ -180,7 +180,8 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},""" +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
-      (if (only.isEmpty) "" else s""""subset":true,""") +
+      (if (only.isEmpty) "" else
+        s""""subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""") +
       s""""contended":${suspects.nonEmpty},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -982,14 +982,22 @@ object Dedup {
     // pairs than sf0.1). driverMaxEdges counts DIRECTED edges like the
     // propagation path does, so the pair bound is half of it; union-find
     // unions undirected pairs directly.
-    val pairsMax = (driverMaxEdges / 2).toInt
+    // clamped: a driverMaxEdges > ~4.3e9 would overflow toInt to a
+    // negative limit (round-12 advice); limit() caps at Int anyway
+    val pairsMax = math.min(driverMaxEdges / 2, (Int.MaxValue - 1).toLong).toInt
     val firstPairs = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .limit(pairsMax + 1).collect()
     if (firstPairs.length <= pairsMax)
       return unionFindLocal(spark, firstPairs)
     // materialize the PAIRS once (before the union duplicates the
     // lineage): the propagation rounds may not re-execute the
-    // pair-generation pipeline upstream
+    // pair-generation pipeline upstream. Known tradeoff: in this
+    // over-cap branch the probe collect above has already executed the
+    // pair pipeline once, so the checkpoint is a second execution —
+    // acceptable because every over-cap caller in this codebase feeds a
+    // PERSISTED pair artifact (a cached scan, not the quadratic
+    // generation), and probing via checkpoint-first would move that
+    // full materialization cost onto the common under-cap case.
     val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint(true)
     val edges = p0.union(p0.select(col("v").as("u"), col("u").as("v")))

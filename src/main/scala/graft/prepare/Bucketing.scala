@@ -16,10 +16,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, sorted external table registered in the
-    * session catalog. Idempotent per session. */
+    * session catalog. Idempotent per (session, base definition): the
+    * early return is keyed on a canonicalized-plan + bucket-count
+    * fingerprint written as a marker file next to the data, so an edit
+    * to the base definition (filter, schema, bucket count) REWRITES the
+    * layout instead of silently merging against the stale one (round-12
+    * advice — the plain tableExists check had exactly that hole). */
   def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
                     key: String, numBuckets: Int, path: String): Unit = {
-    if (spark.catalog.tableExists(table)) return
+    val basis =
+      df.queryExecution.analyzed.canonicalized.toString + "|" + key + "|" + numBuckets
+    val defHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val marker = new java.io.File(s"$path/_graft_def_$defHash")
+    if (spark.catalog.tableExists(table) && marker.exists()) return
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
@@ -27,6 +38,13 @@ object Bucketing {
       .option("path", path)
       .option("compression", "zstd")
       .saveAsTable(table)
+    // stale fingerprints from an older definition die with the rewrite
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("_graft_def_") && f.getName != marker.getName)
+      .foreach(_.delete())
+    marker.getParentFile.mkdirs() // relative paths resolve against cwd
+    marker.createNewFile()
+    ()
   }
 
   /** Shuffle-free equi-join of two same-bucketed tables. */

@@ -44,4 +44,24 @@ class PrepareClusterSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("writeBucketed rewrites when the base definition changes (no stale reuse)") {
+    import graft.prepare.Bucketing
+    val path = "target/tmp/bkt_defhash"
+    val tbl = "bkt_defhash_spec"
+    val base = graft.sources.ParquetNanos.read(spark, s"$sfDir/orders.parquet")
+    Bucketing.writeBucketed(spark, base.filter(col("o_orderkey") < 100),
+      tbl, "o_orderkey", 4, path)
+    val n1 = spark.table(tbl).count()
+    // same definition: idempotent (no rewrite, same contents)
+    Bucketing.writeBucketed(spark, base.filter(col("o_orderkey") < 100),
+      tbl, "o_orderkey", 4, path)
+    assert(spark.table(tbl).count() == n1)
+    // CHANGED definition (different filter): must rewrite, not reuse
+    Bucketing.writeBucketed(spark, base.filter(col("o_orderkey") < 500),
+      tbl, "o_orderkey", 4, path)
+    val n2 = spark.table(tbl).count()
+    val expect = base.filter(col("o_orderkey") < 500).count()
+    assert(n2 == expect && n2 != n1, s"stale bucketed layout reused: $n2 vs $expect")
+  }
 }
