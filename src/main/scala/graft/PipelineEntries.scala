@@ -1305,10 +1305,11 @@ object PipelineEntries {
       s"SELECT doc_id, md5($normE) AS fp FROM documents",
 
     "text_gopher_rules" -> {
-      val stopFlags = Seq("the", "and", "of", "to", "in", "is", "that")
-        .map(w => s"(CASE WHEN ${occ(w)} > 0 THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $toksE AS toks, text FROM documents),
+      // token-SET stopword contract (round 13): a stopword is present
+      // iff it appears as a whole \s+-delimited token, case-insensitive
+      val stopList = Seq("the", "and", "of", "to", "in", "is", "that")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
           s AS (SELECT doc_id,
             CAST(len(toks) AS BIGINT) AS n_words,
             CASE WHEN len(toks) > 0
@@ -1317,7 +1318,9 @@ object PipelineEntries {
             CASE WHEN len(toks) > 0
               THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
-            CAST($stopFlags AS BIGINT) AS n_stopwords
+            CAST(len(list_intersect(
+              list_distinct(list_transform(toks, w -> lower(w))),
+              $stopList)) AS BIGINT) AS n_stopwords
           FROM t)
           SELECT doc_id, n_words,
             round(mean_word_len, 4) AS mean_word_len,

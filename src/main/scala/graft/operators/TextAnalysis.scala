@@ -216,14 +216,22 @@ object TextAnalysis {
     * oracle reproduces every double bit-for-bit. */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.Staging.bound
-    val staged = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+    val staged = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("__t"))
     val t = col("__t")
     val n = size(t).cast(LongType)
     val alphaN = size(filter(t, w => w.rlike("[A-Za-z]"))).cast(LongType)
-    val stopDistinct = enStop.map(w =>
-      when(occurrences(padded(col("__txt")), s" $w ") > 0, 1L).otherwise(0L))
-      .reduce(_ + _)
+    // distinct-stopword presence as a token-SET intersect: one O(tokens)
+    // pass against a 7-element literal array, replacing the per-stopword
+    // padded-substring scan (7 full-document replace passes per row, and
+    // the only consumer that dragged the raw text column into this
+    // projection — the intermediate rows are now token arrays only).
+    // Word boundary = the tokenizer's \s+, so stopwords adjacent to
+    // newlines/tabs now count (the substring form only matched literal
+    // spaces); the oracle restates the same token-set contract.
+    val stopDistinct = size(array_intersect(
+      array_distinct(transform(t, w => lower(w))),
+      lit(enStop.toArray))).cast(LongType)
     staged.select(col("id"),
         n.as("n_words"),
         bound(t) { tt =>
