@@ -215,33 +215,23 @@ object TextAnalysis {
     * over integer counts with one final division each, so the DuckDB
     * oracle reproduces every double bit-for-bit. */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.Staging.bound
+    // All four raw counts come from ONE native single-pass expression
+    // (graft.functions.GopherStats — codegen'd byte scan; see its
+    // Scaladoc for the exact tokenizer/length/alpha/stopword semantics,
+    // which the DuckDB oracle restates and GopherStatsPropertySpec pins
+    // against the composable tokens()/HOF formulation this replaces:
+    // that form paid a regex split + two interpreted HOF passes + an
+    // intersect chain per document, all CodegenFallback).
     val staged = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("__t"))
-    val t = col("__t")
-    val n = size(t).cast(LongType)
-    val alphaN = size(filter(t, w => w.rlike("[A-Za-z]"))).cast(LongType)
-    // distinct-stopword presence as a token-SET intersect: one O(tokens)
-    // pass against a 7-element literal array, replacing the per-stopword
-    // padded-substring scan (7 full-document replace passes per row, and
-    // the only consumer that dragged the raw text column into this
-    // projection — the intermediate rows are now token arrays only).
-    // Word boundary = the tokenizer's \s+, so stopwords adjacent to
-    // newlines/tabs now count (the substring form only matched literal
-    // spaces); the oracle restates the same token-set contract.
-    val stopDistinct = size(array_intersect(
-      array_distinct(transform(t, w => lower(w))),
-      lit(enStop.toArray))).cast(LongType)
+      graft.functions.GopherStats.gopherStats(col(textCol)).as("__g"))
+    val n = col("__g.n_words")
     staged.select(col("id"),
         n.as("n_words"),
-        bound(t) { tt =>
-          val nn = size(tt).cast(LongType)
-          when(nn > 0, aggregate(tt, lit(0L), (acc, w) => acc + length(w))
-            .cast(DoubleType) / nn.cast(DoubleType)).otherwise(lit(0.0))
-        }.as("mean_word_len"),
-        when(n > 0, alphaN.cast(DoubleType) / n.cast(DoubleType))
+        when(n > 0, col("__g.sum_len").cast(DoubleType) / n.cast(DoubleType))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        when(n > 0, col("__g.alpha_n").cast(DoubleType) / n.cast(DoubleType))
           .otherwise(lit(0.0)).as("alpha_ratio"),
-        stopDistinct.as("n_stopwords"))
+        col("__g.n_stop").as("n_stopwords"))
       .withColumn("pass",
         col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) &&

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Equivalence property for the native single-pass GopherStats
+  * expression: on arbitrary text — mixed whitespace kinds (space, tab,
+  * newline, CR), punctuation, digits, multi-byte UTF-8, stopwords in
+  * mixed case — its four counts equal the composable Column formulation
+  * it replaced (regex \s+ tokenize, HOF alpha filter, HOF length sum,
+  * lowercased token-set stopword intersect). */
+object GopherStatsPropertySpec extends Properties("gopher-stats") {
+
+  private lazy val spark = SparkSpecBase.spark
+
+  private val stopList = Seq("the", "and", "of", "to", "in", "is", "that")
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.oneOf(stopList),
+    Gen.oneOf(stopList.map(_.toUpperCase)),
+    Gen.oneOf("The", "iS", "tHat", "thé", "Ω", "naïve", "東京", "a1", "42",
+      "...", "x", "wo-rd", "longishword"),
+    Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString))
+  private val sep: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(" ", "\t", "\n", "\r", "\f", "  ")).map(_.mkString)
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, word)
+    ss <- Gen.listOfN(n + 1, sep)
+    lead <- Gen.oneOf("", " ", "\n")
+  } yield lead + ws.zip(ss).map { case (w, s) => w + s }.mkString
+
+  property("native single-pass == composable tokens/HOF formulation") =
+    Prop.forAll(Gen.listOfN(20, genText)) { texts =>
+      import SparkSpecBase.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val t = graft.operators.TextAnalysis.tokens(col("text"))
+      val composable = df.select(col("id"),
+        size(t).cast(LongType).as("n_words"),
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).cast(LongType).as("alpha_n"),
+        size(array_intersect(array_distinct(transform(t, w => lower(w))),
+          lit(stopList.toArray))).cast(LongType).as("n_stop"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val native = df.select(col("id"),
+        graft.functions.GopherStats.gopherStats(col("text")).as("g"))
+        .select(col("id"), col("g.n_words"), col("g.sum_len"),
+          col("g.alpha_n"), col("g.n_stop"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val diffs = composable.keySet.filter(k => composable(k) != native(k))
+      diffs.isEmpty :| diffs.take(3).map(k =>
+        s"id=$k text=${texts(k.toInt).take(60).replace("\n", "\\n")} " +
+          s"composable=${composable(k)} native=${native(k)}").mkString("; ")
+    }
+}
