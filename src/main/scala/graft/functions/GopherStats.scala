@@ -137,3 +137,124 @@ object GopherStats {
   def gopherStats(text: Column): Column =
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text)))
 }
+
+/** Native Catalyst expression: the quality-score raw counts in one pass —
+  * (n_words, n_chars, n_punct, stop_hits).
+  *
+  * Replaces the composable form's per-document regex token split + a
+  * 7-stopword padded-substring replace chain (each replace builds a full
+  * string copy) + a \\p{Punct} regexp_count. Semantics byte-exact with
+  * the replaced Columns (pinned by GopherStatsPropertySpec's quality
+  * property; the DuckDB oracle restates the same formula):
+  *  - n_words: as [[GopherStats]] (maximal non-\s runs);
+  *  - n_chars: Spark length() = UTF8String.numChars;
+  *  - n_punct: Java \\p{Punct} = the 32 ASCII punctuation chars
+  *    (0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E) — ASCII bytes never
+  *    occur inside UTF-8 multibyte sequences, so a byte test is exact;
+  *  - stop_hits: sum over the 7 stopwords of the NON-OVERLAPPING
+  *    greedy count of " w " in " " + lower(text) + " " — exactly the
+  *    `(length(p) - length(replace(p, " w "))) / len` counting trick it
+  *    replaces, including its quirk that adjacent matches share a space
+  *    (" the the " counts ONE " the "). Case folding is ASCII: the only
+  *    Unicode-lower mappings into ASCII (Kelvin K -> k; İ -> i +
+  *    combining dot) cannot create a match for this stop list.
+  */
+case class QualityStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quality_stats expects a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = QualityStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    QualityStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.QualityStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityStats =
+    copy(child = newChild)
+}
+
+object QualityStats {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+
+  private val stops: Array[Array[Byte]] =
+    Array("the", "and", "of", "to", "in", "is", "that")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  private def isWs(b: Byte): Boolean = {
+    val x = b & 0xFF
+    x == ' ' || (x >= 0x09 && x <= 0x0D)
+  }
+
+  private def isPunct(x: Int): Boolean =
+    (x >= 0x21 && x <= 0x2F) || (x >= 0x3A && x <= 0x40) ||
+      (x >= 0x5B && x <= 0x60) || (x >= 0x7B && x <= 0x7E)
+
+  def compute(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    var words = 0L
+    var chars = 0L
+    var punct = 0L
+    var inWord = false
+    while (i < n) {
+      val x = b(i) & 0xFF
+      if ((x & 0xC0) != 0x80) chars += 1
+      if (isPunct(x)) punct += 1
+      if (isWs(b(i))) inWord = false
+      else if (!inWord) { words += 1; inWord = true }
+      i += 1
+    }
+    var hits = 0L
+    var k = 0
+    while (k < stops.length) {
+      hits += countPadded(b, n, stops(k))
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](words, chars, punct, hits))
+  }
+
+  /** Greedy non-overlapping count of (' ' + st + ' ') in the virtually
+    * padded " " + asciiLower(text) + " " (positions 0 and n+1 are the
+    * pads; position q in 1..n reads byte q-1 case-folded). */
+  private def countPadded(b: Array[Byte], n: Int, st: Array[Byte]): Long = {
+    val m = st.length + 2
+    var count = 0L
+    var p = 0
+    while (p + m <= n + 2) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val q = p + j
+        val c =
+          if (q == 0 || q == n + 1) ' '.toInt
+          else {
+            var x = b(q - 1) & 0xFF
+            if (x >= 'A' && x <= 'Z') x += 32
+            x
+          }
+        val want = if (j == 0 || j == m - 1) ' '.toInt else st(j - 1) & 0xFF
+        if (c != want) ok = false else j += 1
+      }
+      if (ok) { count += 1; p += m } else p += 1
+    }
+    count
+  }
+
+  /** Column-API entry point. */
+  def qualityStats(text: Column): Column =
+    ColumnBridge.column(QualityStats(ColumnBridge.expression(text)))
+}

@@ -105,32 +105,30 @@ object TextAnalysis {
     * saturation, and punctuation penalty. Pure +,*,/ so any engine
     * reproduces it exactly. */
   def qualityScore(text: Column): Column =
-    qualityFrom(text, padded(text), tokens(text))
+    qualityFromStats(graft.functions.QualityStats.qualityStats(text))
 
-  /** [[qualityScore]] with the shared heavy subexpressions — the padded
-    * lowercase string (consumed 14x by the stop-hit replaces) and the
-    * token array (consumed twice) — staged as multi-referenced
-    * projection aliases, so each evaluates ONCE per row. The
-    * single-Column form repeats them inside one expression tree, and
-    * because the tree contains a higher-order function the whole output
-    * column is CodegenFallback — interpreted, with NO subexpression
-    * elimination — so every repeat re-runs a full string pass: measured
-    * 3.74 s -> 1.2 s at the 10x fixture. Identical semantics (one
-    * formula, restated by the oracle); entries should use this form. */
+  /** [[qualityScore]] over a staged raw-counts struct. All four heavy
+    * counts (token count, char count, punct count, the 7-stopword
+    * non-overlapping hit count) come from ONE native single-pass
+    * expression (graft.functions.QualityStats — codegen'd byte scan
+    * with the exact replace-counting semantics the oracle restates,
+    * pinned by GopherStatsPropertySpec). The pre-round-13 composable
+    * form paid a regex split + 7 full-string replaces + a regex count
+    * per document, CodegenFallback because of the HOF token count.
+    * Identical semantics (one formula, restated by the oracle). */
   def qualityScored(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol).as("__txt"),
-        padded(col(textCol)).as("__p"), tokens(col(textCol)).as("__t"))
-      .select(col(idCol),
-        qualityFrom(col("__txt"), col("__p"), col("__t")).as("quality"))
+    df.select(col(idCol),
+        graft.functions.QualityStats.qualityStats(col(textCol)).as("__q"))
+      .select(col(idCol), qualityFromStats(col("__q")).as("quality"))
 
-  private def qualityFrom(text: Column, p: Column, t: Column): Column = {
-    val nTok = size(t).cast(DoubleType)
-    val stopHits = enStop.map(w => occurrences(p, s" $w ")).reduce(_ + _)
-    val stopRatio = when(nTok > 0, stopHits.cast(DoubleType) / nTok).otherwise(lit(0.0))
+  private def qualityFromStats(q: Column): Column = {
+    val nTok = q.getField("n_words").cast(DoubleType)
+    val stopRatio = when(nTok > 0,
+      q.getField("stop_hits").cast(DoubleType) / nTok).otherwise(lit(0.0))
     val lenSat = least(nTok / lit(100.0), lit(1.0))
-    val punctRatio = when(length(text) > 0,
-      punctCount(text).cast(DoubleType) / length(text).cast(DoubleType))
-      .otherwise(lit(0.0))
+    val punctRatio = when(q.getField("n_chars") > 0,
+      q.getField("n_punct").cast(DoubleType) /
+        q.getField("n_chars").cast(DoubleType)).otherwise(lit(0.0))
     lit(0.4) * least(stopRatio * lit(4.0), lit(1.0)) +
       lit(0.3) * lenSat +
       lit(0.3) * (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0)))

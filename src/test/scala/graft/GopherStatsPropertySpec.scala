@@ -58,4 +58,38 @@ object GopherStatsPropertySpec extends Properties("gopher-stats") {
         s"id=$k text=${texts(k.toInt).take(60).replace("\n", "\\n")} " +
           s"composable=${composable(k)} native=${native(k)}").mkString("; ")
     }
+
+  property("native QualityStats == padded-replace counting formulation") =
+    Prop.forAll(Gen.listOfN(20, genText)) { texts =>
+      import SparkSpecBase.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      // the pre-round-13 composable counts, reconstructed verbatim:
+      // replace-based non-overlapping " w " occurrences over the padded
+      // lowercase text, regex punct count, HOF token count
+      val p = concat(lit(" "), lower(col("text")), lit(" "))
+      def occ(w: String): org.apache.spark.sql.Column =
+        ((length(p) - length(replace(p, lit(s" $w "), lit("")))) /
+          lit(s" $w ".length)).cast(LongType)
+      val composable = df.select(col("id"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast(LongType).as("n_words"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        regexp_count(col("text"), lit("[\\p{Punct}]"))
+          .cast(LongType).as("n_punct"),
+        Seq("the", "and", "of", "to", "in", "is", "that")
+          .map(occ).reduce(_ + _).as("stop_hits"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val native = df.select(col("id"),
+        graft.functions.QualityStats.qualityStats(col("text")).as("q"))
+        .select(col("id"), col("q.n_words"), col("q.n_chars"),
+          col("q.n_punct"), col("q.stop_hits"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val diffs = composable.keySet.filter(k => composable(k) != native(k))
+      diffs.isEmpty :| diffs.take(3).map(k =>
+        s"id=$k text=${texts(k.toInt).take(60).replace("\n", "\\n")} " +
+          s"composable=${composable(k)} native=${native(k)}").mkString("; ")
+    }
 }
