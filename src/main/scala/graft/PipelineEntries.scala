@@ -87,7 +87,7 @@ object PipelineEntries {
     * Dedup / Similarity / this file): the version is part of the on-disk
     * path, so parquet written by an older build is never silently reused
     * across JVMs — the gates would otherwise validate stale results. */
-  private val ArtifactVersion = 5
+  private val ArtifactVersion = 6
   private def artifactPath(dir: String, name: String): String =
     s"target/prepared/pipeline/v$ArtifactVersion/" +
       s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"

@@ -282,7 +282,18 @@ object Dedup {
     * ([[minhashPairsFromSigs]]'s replica pre-pass) can group exact
     * copies without re-reading text. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3): DataFrame = {
+                 n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.ShingleSigs.shingleSigs(lower(col(textCol)), n).as("hs"),
+      md5(to_binary(col(textCol), lit("utf-8"))).as("g"))
+
+  /** The composable signature formulation (regression pin only): regex
+    * tokenize -> staged shingle strings -> array_distinct -> per-shingle
+    * xxhash64 — three projections, interpreted HOFs throughout. The
+    * native [[graft.functions.ShingleSigs]] above is value-exact with
+    * this (ShingleSigsPropertySpec). */
+  private[graft] def signaturesComposable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
     import graft.functions.Staging.bound
     df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__t"),

@@ -24,14 +24,30 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Token count (whitespace + BPE-ish heuristic is tokenCountBpe). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace + BPE-ish heuristic is tokenCountBpe).
+    * Native single-pass byte scan ([[graft.functions.WordCount]] —
+    * codegen'd, LongType), value-exact with `size(tokens(text))`, which
+    * paid a regex split materializing the token array plus an interpreted
+    * HOF filter per document (CodegenFallback). Equivalence pinned by
+    * GopherStatsPropertySpec. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCounts.wordCount(text)
 
-  /** BPE-ish subword count heuristic: words + intra-word punctuation
-    * splits + long-word overflow (a word of n chars counts
-    * ceil(n/6) subwords) — a cheap, deterministic proxy for a real
-    * tokenizer's token count. */
+  /** The composable tokenCount formulation (regression pin only). */
+  private[graft] def tokenCountComposable(text: Column): Column =
+    size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count heuristic: words + long-word overflow (a word
+    * of n chars counts ceil(n/6) subwords) — a cheap, deterministic proxy
+    * for a real tokenizer's token count. Native single-pass byte scan
+    * ([[graft.functions.BpeCount]]); value-exact with the interpreted HOF
+    * fold it replaces (see its Scaladoc; pinned by
+    * GopherStatsPropertySpec). */
   def tokenCountBpe(text: Column): Column =
+    graft.functions.TokenCounts.bpeCount(text)
+
+  /** The composable tokenCountBpe formulation (regression pin only). */
+  private[graft] def tokenCountBpeComposable(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

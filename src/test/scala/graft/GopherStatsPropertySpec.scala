@@ -92,4 +92,24 @@ object GopherStatsPropertySpec extends Properties("gopher-stats") {
         s"id=$k text=${texts(k.toInt).take(60).replace("\n", "\\n")} " +
           s"composable=${composable(k)} native=${native(k)}").mkString("; ")
     }
+
+  property("native WordCount/BpeCount == composable token-count forms") =
+    Prop.forAll(Gen.listOfN(20, genText)) { texts =>
+      import SparkSpecBase.implicits._
+      import graft.operators.TextAnalysis
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val composable = df.select(col("id"),
+        TextAnalysis.tokenCountComposable(col("text")).as("n"),
+        TextAnalysis.tokenCountBpeComposable(col("text")).as("b"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val native = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.tokenCountBpe(col("text")).as("b"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val diffs = composable.keySet.filter(k => composable(k) != native(k))
+      diffs.isEmpty :| diffs.take(3).map(k =>
+        s"id=$k text=${texts(k.toInt).take(60).replace("\n", "\\n")} " +
+          s"composable=${composable(k)} native=${native(k)}").mkString("; ")
+    }
 }
