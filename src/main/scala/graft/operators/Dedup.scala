@@ -104,12 +104,15 @@ object Dedup {
       w: Int = 16, replicaGate: Option[Boolean] = None): DataFrame = {
     import graft.functions.Staging.bound
     // The corpus parquet is one small file (a handful of scan
-    // partitions), so the raw (id, text) rows are exchanged FIRST — the
-    // text bytes are the one full-corpus movement — and everything
-    // downstream runs at full parallelism (the pre-fix shape tokenized
-    // inside the narrow scan, single-digit-way parallel).
-    val raw = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition()
+    // partitions), so the KEYED branch repartitions the raw (id, text)
+    // rows first — the text bytes are the one full-corpus movement —
+    // and the window-key compute runs at full parallelism (the pre-fix
+    // shape tokenized inside the narrow scan, single-digit-way
+    // parallel). The FINGERPRINT branch reads the unrepartitioned scan:
+    // its join with the tiny survivor set redistributes by itself, so a
+    // second full-text exchange there would be pure waste.
+    val raw0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val raw = raw0.repartition()
 
     // Exact-replica pre-pass (same design as [[minhashPairsFromSigs]]):
     // docs with IDENTICAL text have identical windows at identical
@@ -128,34 +131,35 @@ object Dedup {
           .cast(DoubleType)).collect()(0)
       r.getDouble(1) <= 0.8 * r.getDouble(0)
     }
-    val weighted =
-      if (!usePrePass) raw.withColumn("n_g", lit(1L))
-      else {
-        // narrow digest aggregate: only (digest, id) ride the shuffle.
-        // The rep table is small (one row per DISTINCT text); AQE sizes
-        // the join back onto raw at runtime (broadcast here, shuffle on
-        // a cluster where even the distinct corpus is huge).
-        val reps = raw
-          .select(col("doc_id"),
-            md5(to_binary(col("__text"), lit("utf-8"))).as("g"))
-          .groupBy(col("g"))
-          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_g"))
-          .select(col("doc_id"), col("n_g"))
-        raw.join(reps, "doc_id")
-      }
-
-    // Tokenize ONCE and keep the token table for BOTH branches: the
-    // window-key branch explodes it, the fingerprint branch slices it
-    // (the pre-fix shape re-tokenized surviving docs from a second
-    // corpus scan).
-    val toks = pooledPersist(weighted
+    // The (doc_id, n_g) rep table: narrow digest aggregate — only
+    // (digest, id) ride the shuffle, one row per DISTINCT text comes
+    // out. Persisted because BOTH branches join it (keyed + fingerprint)
+    // and the aggregate pays a full-corpus md5 — once, not per branch.
+    // AQE sizes each join at runtime (broadcast here, shuffle on a
+    // cluster where even the distinct corpus is huge).
+    lazy val reps = pooledPersist(raw0
       .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("__text"))).as("t"), col("n_g"))
-      .filter(size(col("t")) >= w))
-    // sampled window-key offsets (1-based element_at positions i..i+w-1)
-    val o1 = (w - 1) / 3
-    val o2 = 2 * (w - 1) / 3
-    val o3 = w - 1
+        md5(to_binary(col("__text"), lit("utf-8"))).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_g"))
+      .select(col("doc_id"), col("n_g")))
+    // weight(base): base + the per-doc replica-group size n_g
+    def weight(base: DataFrame): DataFrame =
+      if (!usePrePass) base.withColumn("n_g", lit(1L))
+      else base.join(reps, "doc_id")
+    val weighted = weight(raw)
+
+    // Corpus-wide branch: ONE native pass per document computes the
+    // window-key array directly from the text
+    // ([[graft.functions.SubstrWindowKeys]]: tokenize + per-token
+    // pmod(xxhash64) + 4-sample window combine, value-exact with the
+    // staged HOF pipeline it replaced and pinned by
+    // ShingleSigsPropertySpec). The corpus-wide TOKEN table this used
+    // to materialize and persist is gone — only the surviving documents
+    // (typically a tiny fraction) are ever tokenized into arrays, in
+    // the fingerprint branch below, at the cost of one extra corpus
+    // scan (linear, column-pruned) instead of a full-corpus in-memory
+    // persist (which at 100 TB would spill).
     // (doc_id, pos) packed into ONE long for the keyed shuffle: doc_id
     // in the high 39 bits, pos in the low 24 — two longs per position
     // ride the exchange instead of a struct plus two ids, and because
@@ -167,20 +171,20 @@ object Dedup {
     // constants of this operator, documented here because a silent
     // overflow would corrupt grouping.
     val PosBits = 24
-    val hashed = toks
-      .select(col("doc_id"), col("n_g"), bound(col("t"))(t =>
-        transform(t, x => pmod(xxhash64(x), lit(MersenneP)))).as("hs"))
+    // A doc with fewer than w tokens yields an EMPTY ks, and posexplode
+    // drops empty arrays — the old `size(t) >= w` filter happens for
+    // free in the generator. (An explicit `.filter(size(ks) > 0)` here
+    // would be pushed below the projection and re-evaluate the native
+    // expression per doc — the PushDownPredicates trap of CLAUDE.md.)
     // h < 2^31 and the coefficient sum < 2^21, so k < 2^52 — inside
     // ANSI long bounds. When the replica pre-pass is OFF (n_g = 1
     // everywhere), n_g is dropped from the shuffled row entirely.
+    val keyed = weighted.select(col("doc_id"), col("n_g"),
+      graft.functions.SubstrWindowKeys
+        .substrWindowKeys(lower(col("__text")), w, MersenneP).as("ks"))
     def explodeKeys(d: DataFrame, extra: Seq[Column]): DataFrame = d
       .select(extra :+ shiftleft(col("doc_id"), PosBits).as("__hi") :+
-        posexplode(bound(col("hs"))(hs =>
-          transform(sequence(lit(1), size(hs) - lit(w - 1)), i =>
-            element_at(hs, i) * lit(1000003L) +
-              element_at(hs, i + o1) * lit(524287L) +
-              element_at(hs, i + o2) * lit(8191L) +
-              element_at(hs, i + o3) * lit(131L)))): _*)
+        posexplode(col("ks")): _*)
       .select(extra :+ (col("__hi") + col("pos")).as("p") :+
         col("col").as("k"): _*)
     // the single keyed shuffle: the multi-doc filter and the position
@@ -189,13 +193,13 @@ object Dedup {
     // one doc that stands for a replica group of >= 2 copies.
     val surv0 =
       if (!usePrePass)
-        explodeKeys(hashed, Nil).groupBy(col("k"))
+        explodeKeys(keyed, Nil).groupBy(col("k"))
           .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
             collect_list(col("p")).as("ps"))
           .filter(shiftright(col("mn"), PosBits) =!=
             shiftright(col("mx"), PosBits))
       else
-        explodeKeys(hashed, Seq(col("n_g"))).groupBy(col("k"))
+        explodeKeys(keyed, Seq(col("n_g"))).groupBy(col("k"))
           .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
             max(col("n_g")).as("mg"), collect_list(col("p")).as("ps"))
           .filter(shiftright(col("mn"), PosBits) =!=
@@ -206,8 +210,8 @@ object Dedup {
         col("p").bitwiseAND(lit((1L << PosBits) - 1)).cast(IntegerType)
           .as("pos"))
     // positions grouped per doc so the final pass builds window strings
-    // ONLY for surviving documents, off the persisted token table (the
-    // corpus-wide branch above never builds a string)
+    // ONLY for surviving documents (the corpus-wide branch above never
+    // builds a token array or a string)
     val survPos = surv.groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("ps"))
     // Replica expansion is exact, not approximate: every member of an
@@ -217,11 +221,15 @@ object Dedup {
     // n_docs = sum of group sizes over the distinct docs containing fp.
     // With no pre-pass n_g = 1 everywhere and this reduces to the plain
     // count/count-distinct semantics the DuckDB oracle states.
-    toks.join(survPos, Seq("doc_id"))
-      .select(col("doc_id"), col("n_g"), col("t"), explode(col("ps")).as("pos"))
+    // survivors FIRST (shrink the corpus to the surviving docs), THEN
+    // the tiny reps join supplies n_g — never a full-corpus join. The
+    // per-window fingerprints come from ONE native pass per surviving
+    // document ([[graft.functions.WindowFps]]): md5 over slices of the
+    // normalized token buffer, no re-tokenize, no window strings.
+    weight(raw0.join(survPos, Seq("doc_id")))
       .select(col("doc_id"), col("n_g"),
-        md5(to_binary(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(w))),
-          lit("utf-8"))).as("fp"))
+        explode(graft.functions.WindowFps
+          .windowFps(lower(col("__text")), col("ps"), w)).as("fp"))
       .groupBy(col("fp"), col("doc_id"), col("n_g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("fp")).agg(
@@ -321,12 +329,7 @@ object Dedup {
     * stays under 2^62 so ANSI long math never overflows. */
   private val MersenneP = 2147483647L
 
-  private val mixConsts: IndexedSeq[(Long, Long)] = {
-    val rnd = new scala.util.Random(0x5eed5eedL)
-    IndexedSeq.fill(64)((
-      1L + math.floorMod(rnd.nextLong(), MersenneP - 1), // a in [1, p)
-      math.floorMod(rnd.nextLong(), MersenneP)))         // b in [0, p)
-  }
+  private def mixConsts = graft.functions.MinhashSig.mixConsts
 
   /** MinHash signature: each shingle string is hashed ONCE (xxhash64,
     * reduced mod p); the `numHashes` permutations are Carter-Wegman
@@ -412,22 +415,20 @@ object Dedup {
       * both verify joins are equal-width keyed shuffles where SMJ's
       * per-partition sorts are pure overhead. */
     def bandedVerify(sigs: DataFrame): DataFrame = {
-      val exploded = sigs.select(col("id"), explode(col("hs")).as("h0"))
-        .withColumn("hp", pmod(col("h0"), lit(MersenneP)))
-      val minCols = (0 until numHashes).map { i =>
-        min(pmod(col("hp") * lit(mixConsts(i)._1) + lit(mixConsts(i)._2),
-          lit(MersenneP))).as(s"m$i")
-      }
-      // pooled persist, not `staged`: BOTH sides of the banded self-join
-      // below consume the signature table, and AQE does not reuse the
-      // exchange (same lesson as the blocked-jaccard candidate stage) —
-      // without it the 32-min-aggregate groupBy runs twice per query.
-      // One row per doc: trivial to cache at any corpus size.
-      val withSig = pooledPersist(staged(exploded
-        .groupBy(col("id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("id"),
-          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")),
+      // Native one-pass signature ([[graft.functions.MinhashSig]]):
+      // the numHashes Carter-Wegman mins compute inside the row — the
+      // old relational formulation (explode the hash set, groupBy(id)
+      // with numHashes MIN aggregates) paid one row per (doc, shingle)
+      // through an aggregate map plus a by-id exchange for the same
+      // array. The empty-hs filter mirrors the explode's doc-dropping
+      // (hs is a STORED column, so the filter costs nothing and cannot
+      // re-evaluate anything heavy). Still pooled-persisted: BOTH sides
+      // of the banded self-join below consume the signature table —
+      // one row per doc, trivial to cache at any corpus size.
+      val withSig = pooledPersist(staged(sigs
+        .filter(size(col("hs")) > 0)
+        .select(col("id"), graft.functions.MinhashSig
+          .minhashSig(col("hs"), numHashes).as("sig")),
         stage))
       val banded = withSig.select(
           col("id"),

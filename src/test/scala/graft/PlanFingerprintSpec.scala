@@ -21,10 +21,22 @@ class PlanFingerprintSpec extends SparkSpec {
     "ann_brute_topk" -> 1,
     "ann_ivf_topk" -> 1,
     "dedup_clusters" -> 0,
-    "dedup_minhash" -> 5,
+    // 7 since round 13's native MinhashSig: the signature no longer
+    // passes through an explode + groupBy(id) min-aggregate, so the
+    // by-id exchange (and the reuse that made the two banded sides
+    // share one subtree) is gone — strictly LESS data moves (zero
+    // pre-banding exchanges; one row per doc never explodes), but more
+    // of the join fan-out's own exchanges are now distinct nodes
+    "dedup_minhash" -> 7,
     "dedup_ngram_blocked" -> 2,
     "dedup_ngram_jaccard" -> 0,
-    "dedup_substrings" -> 1,
+    // 3 since round 13's native rewrite: the old pin of 1 was an
+    // artifact of the full-corpus token persist, whose InMemoryRelation
+    // HID the keyed-shuffle/survivor exchanges from the executed plan;
+    // the persist is gone (it would spill at scale) and all three real
+    // exchanges (window-key groupBy, survivor-position groupBy, final
+    // fingerprint groupBy) are now visible
+    "dedup_substrings" -> 3,
     "ext_asof_join" -> 1,
     "ext_cdc_compact" -> 1,
     "ext_funnel" -> 2,
