@@ -218,40 +218,54 @@ object QualityStats {
       else if (!inWord) { words += 1; inWord = true }
       i += 1
     }
-    var hits = 0L
-    var k = 0
-    while (k < stops.length) {
-      hits += countPadded(b, n, stops(k))
-      k += 1
-    }
-    new GenericInternalRow(Array[Any](words, chars, punct, hits))
+    new GenericInternalRow(Array[Any](words, chars, punct, countStops(b, n)))
   }
 
-  /** Greedy non-overlapping count of (' ' + st + ' ') in the virtually
-    * padded " " + asciiLower(text) + " " (positions 0 and n+1 are the
-    * pads; position q in 1..n reads byte q-1 case-folded). */
-  private def countPadded(b: Array[Byte], n: Int, st: Array[Byte]): Long = {
-    val m = st.length + 2
-    var count = 0L
-    var p = 0
-    while (p + m <= n + 2) {
-      var j = 0
-      var ok = true
-      while (ok && j < m) {
-        val q = p + j
-        val c =
-          if (q == 0 || q == n + 1) ' '.toInt
-          else {
-            var x = b(q - 1) & 0xFF
-            if (x >= 'A' && x <= 'Z') x += 32
-            x
-          }
-        val want = if (j == 0 || j == m - 1) ' '.toInt else st(j - 1) & 0xFF
-        if (c != want) ok = false else j += 1
+  /** Sum over the 7 stopwords of the greedy non-overlapping count of
+    * (' ' + st + ' ') in the virtually padded
+    * " " + asciiLower(text) + " " (positions 0 and n+1 are the pads;
+    * position q in 1..n reads byte q-1 case-folded). ONE scan for all
+    * needles: a match must start at a literal 0x20 space (the pads or a
+    * space byte — NOT other \s, exactly like the replace-counting
+    * formulation this reproduces), so the needle tests only run at
+    * space positions, each needle carrying its own greedy
+    * next-allowed-start cursor. Per needle this visits exactly the
+    * positions the 7 independent scans visited, in the same order, so
+    * the greedy skip semantics — including the quirk that adjacent
+    * matches share a space (" the the " counts ONE " the ") — are
+    * byte-identical. */
+  private def countStops(b: Array[Byte], n: Int): Long = {
+    // padded[q] for q in [0, n+2): pads at 0 and n+1, else fold(b(q-1))
+    def at(q: Int): Int =
+      if (q == 0 || q == n + 1) ' '.toInt
+      else {
+        var x = b(q - 1) & 0xFF
+        if (x >= 'A' && x <= 'Z') x += 32
+        x
       }
-      if (ok) { count += 1; p += m } else p += 1
+    val nextA = new Array[Int](stops.length)
+    var hits = 0L
+    var q = 0
+    while (q <= n + 1) {
+      if (at(q) == ' '.toInt) {
+        var k = 0
+        while (k < stops.length) {
+          val st = stops(k)
+          val m = st.length + 2
+          if (q >= nextA(k) && q + m <= n + 2 && at(q + m - 1) == ' '.toInt) {
+            var j = 0
+            var ok = true
+            while (ok && j < st.length) {
+              if (at(q + 1 + j) != (st(j) & 0xFF)) ok = false else j += 1
+            }
+            if (ok) { hits += 1; nextA(k) = q + m }
+          }
+          k += 1
+        }
+      }
+      q += 1
     }
-    count
+    hits
   }
 
   /** Column-API entry point. */
