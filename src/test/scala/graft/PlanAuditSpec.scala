@@ -299,6 +299,21 @@ class PlanAuditSpec extends SparkSpec {
       exch.mkString("\n"))
     assert(!exch.exists(l => l.contains("win") || l.contains("text") ||
       l.contains("t#")), exch.mkString("\n"))
+    // the native window-key expression must evaluate ONCE, in the
+    // projection — never inside a scan's DataFilters (PushDownPredicates
+    // substitutes computed-column filters below the projection and
+    // re-evaluates the expression per document: the CLAUDE.md trap this
+    // operator hit and removed in round 13 — posexplode drops empty
+    // arrays, so no size filter is needed at all)
+    val scanFilters = plan.linesIterator
+      .filter(l => l.contains("DataFilters") || l.contains("PushedFilters"))
+    assert(!scanFilters.exists(l => l.toLowerCase.contains("substrwindowkeys")),
+      scanFilters.mkString("\n"))
+    // and the full-corpus token persist is gone: nothing in this plan
+    // reads an InMemoryRelation of the corpus (the pooled rep table is
+    // the only cache, and it is (doc_id, n_g)-narrow)
+    assert(!plan.contains("InMemoryTableScan [doc_id") ||
+      !plan.contains("t#"), plan)
   }
 
   test("curation funnel: id-set joins broadcast, anti-join included") {
