@@ -76,11 +76,7 @@ object GopherStats {
     Array("the", "and", "of", "to", "in", "is", "that")
       .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  private def isWs(b: Byte): Boolean = {
-    // Java regex \s: space, \t, \n, \x0B, \f, \r
-    val x = b & 0xFF
-    x == ' ' || (x >= 0x09 && x <= 0x0D)
-  }
+  import TextBytes.isWs
 
   /** Shared by interpreted eval and generated code. */
   def compute(s: UTF8String): InternalRow = {
@@ -193,10 +189,7 @@ object QualityStats {
     Array("the", "and", "of", "to", "in", "is", "that")
       .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  private def isWs(b: Byte): Boolean = {
-    val x = b & 0xFF
-    x == ' ' || (x >= 0x09 && x <= 0x0D)
-  }
+  import TextBytes.isWs
 
   private def isPunct(x: Int): Boolean =
     (x >= 0x21 && x <= 0x2F) || (x >= 0x3A && x <= 0x40) ||

@@ -66,11 +66,7 @@ object ShingleSigs {
 
   private val Seed = 42L // xxhash64's fixed seed
 
-  private def isWs(b: Byte): Boolean = {
-    // Java regex \s: space, \t, \n, \x0B, \f, \r
-    val x = b & 0xFF
-    x == ' ' || (x >= 0x09 && x <= 0x0D)
-  }
+  import TextBytes.isWs
 
   /** Shared by interpreted eval and generated code. */
   def compute(s: UTF8String, n: Int): GenericArrayData = {

@@ -79,11 +79,7 @@ case class BpeCount(child: Expression) extends UnaryExpression {
 object TokenCounts {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  private def isWs(b: Byte): Boolean = {
-    // Java regex \s: space, \t, \n, \x0B, \f, \r
-    val x = b & 0xFF
-    x == ' ' || (x >= 0x09 && x <= 0x0D)
-  }
+  import TextBytes.isWs
 
   /** Shared by interpreted eval and generated code. */
   def wordCount(s: UTF8String): Long = {

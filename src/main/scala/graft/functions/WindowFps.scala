@@ -63,11 +63,7 @@ case class WindowFps(left: Expression, right: Expression, w: Int)
 object WindowFps {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  private def isWs(b: Byte): Boolean = {
-    // Java regex \s: space, \t, \n, \x0B, \f, \r
-    val x = b & 0xFF
-    x == ' ' || (x >= 0x09 && x <= 0x0D)
-  }
+  import TextBytes.isWs
 
   private val hexDigits = "0123456789abcdef".toCharArray
 

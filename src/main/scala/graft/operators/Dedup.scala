@@ -102,7 +102,6 @@ object Dedup {
     * so false candidates stay negligible. */
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16, replicaGate: Option[Boolean] = None): DataFrame = {
-    import graft.functions.Staging.bound
     // The corpus parquet is one small file (a handful of scan
     // partitions), so the KEYED branch repartitions the raw (id, text)
     // rows first — the text bytes are the one full-corpus movement —
