@@ -103,12 +103,34 @@ object TextAnalysis {
     * CJK-dominant text is zh; otherwise the language whose distinctive
     * function words occur most (ties broken alphabetically); no signal
     * at all is "und". Deterministic and SQL-expressible — the DuckDB
-    * oracle states the identical CASE chain. */
+    * oracle states the identical CASE chain.
+    *
+    * All five raw signals come from ONE native single-pass expression
+    * ([[graft.functions.LangStats]] — codegen'd byte scan; the
+    * composable form paid a CJK regex count plus TWENTY padded-replace
+    * occurrence counts per document, the slowest scalar in the suite).
+    * The decision chain over the struct is cheap Column logic; codegen
+    * subexpression elimination evaluates the struct once per row.
+    * Equivalence pinned by GopherStatsPropertySpec. */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val st = graft.functions.LangStats.langStats(lower(text))
+    val scores = Seq("de" -> st.getField("s_de"), "en" -> st.getField("s_en"),
+      "es" -> st.getField("s_es"), "fr" -> st.getField("s_fr"))
     val maxScore = greatest(scores.map(_._2): _*)
     // first WHEN in marker order wins ties -> alphabetical preference,
     // stated identically in the oracle's CASE chain
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === maxScore, lit(lang)).otherwise(els)
+    }
+    when(st.getField("cjk") > 10, lit("zh"))
+      .when(maxScore === 0, lit("und"))
+      .otherwise(pick)
+  }
+
+  /** The composable langId formulation (regression pin only). */
+  private[graft] def langIdComposable(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === maxScore, lit(lang)).otherwise(els)
     }

@@ -93,6 +93,37 @@ object GopherStatsPropertySpec extends Properties("gopher-stats") {
           s"composable=${composable(k)} native=${native(k)}").mkString("; ")
     }
 
+  private val langWord: Gen[String] = Gen.oneOf(
+    Gen.oneOf(Seq("der", "und", "die", "nicht", "das", "the", "and", "of",
+      "is", "that", "el", "los", "que", "y", "las", "le", "la", "et",
+      "les", "des")),
+    Gen.oneOf(Seq("DER", "The", "Y", "Les", "tHat")),
+    Gen.oneOf(Seq("東京", "漢字テスト", "中文中文中文中文中文中文", "naïve", "x1", "...", "word")),
+    Gen.listOfN(3, Gen.alphaChar).map(_.mkString))
+  private val genLangText: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, langWord)
+    ss <- Gen.listOfN(n + 1, sep)
+  } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+
+  property("native LangStats langId == composable replace-count langId") =
+    Prop.forAll(Gen.listOfN(20, genLangText)) { texts =>
+      import SparkSpecBase.implicits._
+      import graft.operators.TextAnalysis
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val composable = df.select(col("id"),
+        TextAnalysis.langIdComposable(col("text")).as("l"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val native = df.select(col("id"),
+        TextAnalysis.langId(col("text")).as("l"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val diffs = composable.keySet.filter(k => composable(k) != native(k))
+      diffs.isEmpty :| diffs.take(3).map(k =>
+        s"id=$k text='${texts(k.toInt).take(60).replace("\n", "\\n")}' " +
+          s"composable=${composable(k)} native=${native(k)}").mkString("; ")
+    }
+
   property("native WordCount/BpeCount == composable token-count forms") =
     Prop.forAll(Gen.listOfN(20, genText)) { texts =>
       import SparkSpecBase.implicits._
