@@ -367,18 +367,20 @@ object AnalyticsEntries {
     // rebuilds the identical sketch.
     "ext_countmin" -> ((s, dir) => {
       val width = 256
-      def bucket(d: Column, key: Column): Column =
-        pmod(graft.operators.Dedup.portableHash56(
-          concat(d.cast(StringType), lit(":"), key.cast(StringType))),
-          lit(width))
-      val ds4 = s.range(4).select(col("id").as("d"))
+      // all 4 bucket ids per row from ONE native md5 pass
+      // (CmsBuckets: the depth crossJoin + per-(row, d) built-string ->
+      // hex-digest -> base-16-parse chain it replaced is restated by the
+      // oracle and pinned by ShingleSigsPropertySpec); posexplode's pos
+      // IS the depth coordinate
+      def buckets(key: Column) = posexplode(graft.functions.CmsBuckets
+        .cmsBuckets(key.cast(StringType), 4, width))
       val ev = events(s, dir).select(col("user_id"))
-      val cms = ev.crossJoin(broadcast(ds4))
-        .groupBy(col("d"), bucket(col("d"), col("user_id")).as("bucket"))
+      val cms = ev.select(col("user_id"), buckets(col("user_id")))
+        .groupBy(col("pos").as("d"), col("col").as("bucket"))
         .agg(count(lit(1)).as("c"))
       val probes = ev.filter(col("user_id") < 25).distinct()
-      probes.crossJoin(broadcast(ds4))
-        .withColumn("bucket", bucket(col("d"), col("user_id")))
+      probes.select(col("user_id"), buckets(col("user_id")))
+        .select(col("user_id"), col("pos").as("d"), col("col").as("bucket"))
         .join(cms, Seq("d", "bucket"))
         .groupBy(col("user_id"))
         .agg(min(col("c")).as("est_cnt"))

@@ -437,25 +437,22 @@ object PipelineEntries {
     // vocabulary after 2 merges. The oracle replays both rounds with
     // scalar subqueries.
     "text_bpe_merge2" -> ((s, dir) => {
-      import graft.functions.Staging.bound
+      // bigrams + the merge step are native single passes over the token
+      // array (TokenOps.bigrams / bpeMergePair — the HOF zip_with pair
+      // build and the padded double-space replace + re-tokenize chain
+      // they replaced are pinned equivalent by ShingleSigsPropertySpec);
+      // explode drops the empty bigram arrays of 0/1-token docs, so no
+      // size filter re-evaluates the computed column
       def pairsOf(d: DataFrame): DataFrame =
-        d.filter(size(col("t")) >= 2)
-          .select(explode(bound(col("t"))(t =>
-            zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-              (a, b) => concat(a, lit(" "), b)))).as("pair"))
+        d.select(explode(graft.functions.TokenOps.bigrams(col("t"))).as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       def topPair(d: DataFrame): String =
         pairsOf(d).orderBy(col("cnt").desc, col("pair").asc)
           .limit(1).collect()(0).getString(0)
       def merged(d: DataFrame, pair: String): DataFrame = {
         val Array(w1, w2) = pair.split(" ", 2)
-        d.select(
-          call_function("replace",
-            call_function("replace",
-              concat(lit(" "), concat_ws(" ", col("t")), lit(" ")),
-              lit(" "), lit("  ")),
-            lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")).as("__m"))
-          .select(TextAnalysis.tokens(col("__m")).as("t"))
+        d.select(graft.functions.TokenOps
+          .bpeMergePair(col("t"), w1, w2).as("t"))
       }
       val t0 = docs(s, dir)
         .select(TextAnalysis.tokens(lower(col("text"))).as("t"))

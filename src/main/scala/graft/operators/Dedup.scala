@@ -924,20 +924,57 @@ object Dedup {
     * one row per (new doc, corpus doc) near-dup relation; new docs with no
     * row are safe to accept. */
   def incrementalJaccardPairs(newSigs: DataFrame, corpusSigs: DataFrame,
-                              threshold: Double = 0.5): DataFrame = {
-    val nInv = newSigs.select(col("id").as("new_id"),
-      size(col("hs")).as("new_n"), explode(col("hs")).as("g"))
-    val cInv = corpusSigs.select(col("id").as("dup_of"),
-      size(col("hs")).as("old_n"), explode(col("hs")).as("g"))
-    nInv.join(cInv, Seq("g"))
-      .groupBy(col("new_id"), col("dup_of"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("new_n")).as("new_n"), first(col("old_n")).as("old_n"))
-      .withColumn("jaccard",
-        col("shared").cast(DoubleType) /
-          (col("new_n") + col("old_n") - col("shared")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+                              threshold: Double = 0.5,
+                              replicaGate: Option[Boolean] = None): DataFrame = {
+    // ---- exact-replica pre-pass (adaptive, gated on the corpus side —
+    // the heavy side of the join) ---------------------------------------
+    // Docs with identical shingle sets have identical jaccard against
+    // everything, so the inverted-index join runs on ONE representative
+    // per exact-text group PER SIDE and the pair table expands back
+    // through the two membership joins — on a replica-heavy corpus
+    // (every real crawl; the MakeSfN fixture at 10 copies per doc) this
+    // divides the exploded join volume by the product of the two sides'
+    // replica factors. Output identical (same argument as
+    // [[minhashPairsFromSigs]]); the oracle restatement is unchanged.
+    val nG = withSetDigest(newSigs)
+    val cG = withSetDigest(corpusSigs)
+    val usePrePass = replicaGate.getOrElse {
+      val r = cG.agg(count(lit(1)).cast(DoubleType),
+        count_distinct(col("g")).cast(DoubleType)).collect()(0)
+      r.getDouble(1) <= 0.8 * r.getDouble(0)
+    }
+
+    def pairsOf(n: DataFrame, c: DataFrame): DataFrame = {
+      val nInv = n.select(col("id").as("new_id"),
+        size(col("hs")).as("new_n"), explode(col("hs")).as("g"))
+      val cInv = c.select(col("id").as("dup_of"),
+        size(col("hs")).as("old_n"), explode(col("hs")).as("g"))
+      nInv.join(cInv, Seq("g"))
+        .groupBy(col("new_id"), col("dup_of"))
+        .agg(count(lit(1)).as("shared"),
+          first(col("new_n")).as("new_n"), first(col("old_n")).as("old_n"))
+        .withColumn("jaccard",
+          col("shared").cast(DoubleType) /
+            (col("new_n") + col("old_n") - col("shared")).cast(DoubleType))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("dup_of"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }
+
+    if (!usePrePass) return pairsOf(nG, cG)
+    val (nRep, nRepSigs) = repSignatures(nG)
+    val (cRep, cRepSigs) = repSignatures(cG)
+    val repPairs = pairsOf(nRepSigs, cRepSigs)
+    // expansion: every member of the new-side group pairs with every
+    // member of the corpus-side group at the representatives' jaccard
+    // (identical shingle sets); groups are disjoint per side, so the
+    // expansion is duplicate-free
+    repPairs
+      .join(nRep.select(col("id").as("new_id"), col("g").as("ng")), "new_id")
+      .join(cRep.select(col("id").as("dup_of"), col("g").as("cg")), "dup_of")
+      .join(nG.select(col("g").as("ng"), col("id").as("xn")), "ng")
+      .join(cG.select(col("g").as("cg"), col("id").as("xc")), "cg")
+      .select(col("xn").as("new_id"), col("xc").as("dup_of"), col("jaccard"))
   }
 
   // ------------------------------------------------------ decontamination
@@ -955,10 +992,19 @@ object Dedup {
   def contaminationCounts(docs: DataFrame, idCol: String, textCol: String,
                           benchmark: DataFrame, benchIdCol: String,
                           benchTextCol: String, n: Int = 8): DataFrame = {
-    val corpusInv = shingleDf(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("g"))
-    val benchShingles = shingleDf(benchmark, benchIdCol, benchTextCol, n)
-      .select(explode(col("sh")).as("g")).distinct()
+    // hashed inverted index (native one-pass ShingleSigs, same distinct
+    // word-n-gram set): the join keys are 8-byte longs instead of
+    // ~50-byte 8-gram strings — long equality through the shuffle and
+    // the hash join, with the usual 2^-64-collision irrelevance argument
+    // every hash-verified dedup operator here already states
+    val corpusInv = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleSigs
+          .shingleSigs(lower(col(textCol)), n).as("hs"))
+      .select(col("id"), explode(col("hs")).as("g"))
+    val benchShingles = benchmark.select(
+        graft.functions.ShingleSigs
+          .shingleSigs(lower(col(benchTextCol)), n).as("hs"))
+      .select(explode(col("hs")).as("g")).distinct()
     corpusInv.join(benchShingles, Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated"))

@@ -121,8 +121,16 @@ object Quantization {
 
   /** Encode: array of `m` codes, code s = argmin over the subspace-s
     * codebook of squared L2 to subvector s (ties -> lowest code). All
-    * codebook entries are plan literals — no broadcast state. */
-  def encodePq(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    * codebook entries ride the plan as a codegen reference object — no
+    * broadcast state. Native single-pass ([[graft.functions.PqEncode]];
+    * the composable m*k interpreted-HOF-folds form it replaced is kept
+    * below as the regression pin). */
+  def encodePq(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqOps.pqEncode(vec, codebooks)
+
+  /** The composable encodePq formulation (regression pin only). */
+  private[graft] def encodePqComposable(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     array((0 until m).map { s =>
@@ -161,13 +169,13 @@ object Quantization {
   }
 
   /** ADC approximate-cosine column from a codes column and the per-query
-    * lookup arrays: sum_s lut[s*k + code_s] — 2m array lookups per pair. */
+    * lookup arrays: sum_s lut[s*k + code_s] — 2m array lookups per pair,
+    * native ([[graft.functions.AdcFold]]; this runs per candidate PAIR,
+    * where the interpreted zip_with/aggregate fold it replaced was the
+    * dominant per-pair cost). */
   private def adcScore(codes: Column, qlut: Column, qNorm: Column,
                        normLut: Column, m: Int, kk: Int): Column = {
-    def fold(lut: Column) =
-      aggregate(zip_with(codes, sequence(lit(0), lit(m - 1)),
-          (code, s) => element_at(lut, s * kk + code + 1)),
-        lit(0.0), (acc, v) => acc + v)
+    def fold(lut: Column) = graft.functions.PqOps.adcFold(codes, lut, kk)
     fold(qlut) / (qNorm * sqrt(fold(normLut)))
   }
 

@@ -117,9 +117,23 @@ object Similarity {
         lit(s"embedding dimensionality mismatch: expected $dim, got "),
         coalesce(size(vec).cast("string"), lit("null")))))
 
+  /** The full hyperplane matrix for planes [0, count), precomputed
+    * driver-side (tiny: count x dim doubles) and shipped into the native
+    * [[graft.functions.LshBuckets]] expression as a plan reference. */
+  private def planeMatrix(count: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(count)(p => planeVector(p, dim).toArray)
+
   /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes of
-    * dimensionality `dim`. */
+    * dimensionality `dim`. Native one-pass ([[graft.functions.LshBuckets]]
+    * with a single band): the composable per-plane HOF folds it replaced
+    * are kept in [[lshBucketComposable]] as the regression pin. */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    element_at(graft.functions.LshBuckets.lshBuckets(
+      vec, planeMatrix(numPlanes, dim), numPlanes), 1)
+
+  /** The composable lshBucket formulation (regression pin only). */
+  private[graft] def lshBucketComposable(vec: Column, numPlanes: Int,
+                                         dim: Int): Column =
     (0 until numPlanes).map { p =>
       when(planeDot(vec, p, dim) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
@@ -152,17 +166,15 @@ object Similarity {
     val ppb = if (planesPerBand > 0) planesPerBand
               else planesForCorpus(df.count())
     // repartition the raw vectors: the corpus parquet is one small file
-    // (one scan task), and the bands*ppb*dim interpreted dot products
-    // below are the dominant cost — they must run on all cores
+    // (one scan task), and the bands*ppb*dim dot products below are the
+    // dominant per-row cost — they must run on all cores. The whole
+    // band-bucket array computes in ONE native pass
+    // ([[graft.functions.LshBuckets]]); the composable form paid one
+    // interpreted aggregate(zip_with) fold per (band, bit).
     val v = df.select(col(idCol).as("id"),
       requireDim(col(vecCol), dim).as("v")).repartition()
-    val bandBuckets = array((0 until bands).map { b =>
-      (0 until ppb).map { p =>
-        val plane = b * ppb + p
-        when(planeDot(col("v"), plane, dim) >= 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce[Column]((a, c) => a.bitwiseOR(c))
-    }: _*)
+    val bandBuckets = graft.functions.LshBuckets.lshBuckets(
+      col("v"), planeMatrix(bands * ppb, dim), ppb)
     val banded = v.select(col("id"), posexplode(bandBuckets))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Explicit numbered repartition: the banded rows are tiny (3 longs),

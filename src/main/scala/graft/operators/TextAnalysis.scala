@@ -20,8 +20,15 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped. Native single pass
+    * ([[graft.functions.Tokens]] — zero-copy UTF8String slices),
+    * value-exact with the regex-split formulation (pinned by
+    * GopherStatsPropertySpec). */
   def tokens(text: Column): Column =
+    graft.functions.TokenOps.tokens(text)
+
+  /** The composable tokens formulation (regression pin only). */
+  private[graft] def tokensComposable(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Token count (whitespace + BPE-ish heuristic is tokenCountBpe).
@@ -194,19 +201,31 @@ object TextAnalysis {
     array_distinct(mins)
   }
 
-  /** Bulk winnowing: stages the k-gram hash array as a bound column so
-    * the window-min pass reads it instead of re-hashing all k-grams per
-    * window (the single-expression form above is O(n^2) hashes per doc
-    * when evaluated inline — see [[graft.functions.Staging]]). */
+  /** Bulk winnowing: ONE native pass per document
+    * ([[graft.functions.WinnowSketch]] — char offsets decode once, each
+    * k-gram hashes zero-copy, window mins and the distinct run in tight
+    * loops). The staged-HOF formulation it replaced
+    * ([[winnowingSketchComposable]]) materialized one substring + hash
+    * per character position and ran interpreted array_min(slice) per
+    * window — 31.7 s at the 10x fixture vs ~1 s native, identical
+    * output (pinned by ShingleSigsPropertySpec).
+    *
+    * portableHash: md5-56 (Dedup.portableHash56's value) instead of
+    * xxhash64 — the sketch becomes reproducible on any md5-capable
+    * engine (the DuckDB oracle restates it), at ~2x the hash cost. */
   def winnowingSketch(df: DataFrame, textCol: String, outCol: String,
                       k: Int = 8, w: Int = 4,
-                      portableHash: Boolean = false): DataFrame = {
+                      portableHash: Boolean = false): DataFrame =
+    df.withColumn(outCol, graft.functions.WinnowSketch
+      .winnowSketch(col(textCol), k, w, portableHash))
+
+  /** The composable winnowing formulation (regression pin only). */
+  private[graft] def winnowingSketchComposable(
+      df: DataFrame, textCol: String, outCol: String,
+      k: Int = 8, w: Int = 4, portableHash: Boolean = false): DataFrame = {
     import graft.functions.Staging.bound
     val t = col(textCol)
     val n = length(t)
-    // portableHash: md5-56 (Dedup.portableHash56) instead of xxhash64 —
-    // the sketch becomes reproducible on any md5-capable engine (the
-    // DuckDB oracle restates it), at ~2x the hash cost
     def kh(s: Column): Column =
       if (portableHash) Dedup.portableHash56(s) else xxhash64(s)
     df.withColumn("__kh", transform(

@@ -106,6 +106,163 @@ object ShingleSigsPropertySpec extends Properties("shingle-sigs") {
           s"native=${native(k).take(4)}").mkString("; ")
     }
 
+  property("native WinnowSketch == staged substr/hash/min HOF form") =
+    Prop.forAll(Gen.listOfN(10, genText), Gen.choose(1, 10),
+      Gen.choose(1, 6), Gen.oneOf(true, false)) { (texts, k, w, portable) =>
+      import SparkSpecBase.implicits._
+      import graft.operators.TextAnalysis
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      def grab(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        d.select(col("id"), col("sk")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composable = grab(TextAnalysis.winnowingSketchComposable(
+        df, "text", "sk", k, w, portable))
+      val native = grab(TextAnalysis.winnowingSketch(
+        df, "text", "sk", k, w, portable))
+      val diffs = composable.keySet.filter(x => composable(x) != native(x))
+      diffs.isEmpty :| diffs.take(3).map(x =>
+        s"k=$k w=$w portable=$portable id=$x " +
+          s"text='${texts(x.toInt).take(50).replace("\n", "\\n")}' " +
+          s"composable=${composable(x).take(4)} native=${native(x).take(4)}")
+        .mkString("; ")
+    }
+
+  property("native PqEncode/AdcFold == composable struct-argmin/HOF-fold") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.listOfN(8, Gen.choose(-4.0f, 4.0f))),
+      Gen.choose(0L, Long.MaxValue)) { (vecs, seed) =>
+      import SparkSpecBase.implicits._
+      import org.apache.spark.sql.types.DoubleType
+      val m = 4; val kk = 3; val dsub = 2
+      val rnd = new scala.util.Random(seed)
+      val codebooks = Array.fill(m, kk, dsub)(rnd.nextDouble() * 4 - 2)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val q = graft.operators.Quantization
+      val composable = df.select(col("id"),
+        q.encodePqComposable(col("v"), codebooks).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val native = df.select(col("id"),
+        q.encodePq(col("v"), codebooks).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val encOk = composable.keySet.forall(x => composable(x) == native(x))
+      // AdcFold vs the composable per-pair fold, over the same codes
+      val lut = (0 until m * kk).map(i => rnd.nextDouble()).toArray
+      val withCodes = df.select(col("id"), q.encodePq(col("v"), codebooks).as("c"))
+      val foldComposable = withCodes.select(col("id"),
+        aggregate(zip_with(col("c"), sequence(lit(0), lit(m - 1)),
+            (code, s) => element_at(typedlit(lut.toSeq), s * kk + code + 1)),
+          lit(0.0), (acc, v) => acc + v).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val foldNative = withCodes.select(col("id"),
+        graft.functions.PqOps.adcFold(col("c"), typedlit(lut.toSeq), kk).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val foldOk = foldComposable.keySet.forall(x =>
+        foldComposable(x) == foldNative(x))
+      (encOk && foldOk) :| s"encOk=$encOk foldOk=$foldOk"
+    }
+
+  property("native LshBuckets == composable per-plane HOF sign folds") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.listOfN(6, Gen.choose(-2.0f, 2.0f))),
+      Gen.choose(1, 4), Gen.choose(1, 6)) { (vecs, bands, ppb) =>
+      import SparkSpecBase.implicits._
+      val dim = 6
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val composable = df.select(col("id"),
+        graft.operators.Similarity.lshBucketComposable(col("v"), bands * ppb, dim)
+          .as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the native single-band bucket must equal the composable OR-fold
+      val nativeSingle = df.select(col("id"),
+        graft.operators.Similarity.lshBucket(col("v"), bands * ppb, dim).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val singleOk = composable.keySet.forall(k => composable(k) == nativeSingle(k))
+      // and the banded array must decompose the same sign bits band-wise:
+      // band j's bucket bits are the global planes j*ppb..(j+1)*ppb-1
+      val planes = (0 until bands * ppb)
+        .map(p => graft.operators.Similarity.planeVector(p, dim).toArray).toArray
+      val bandArr = df.select(col("id"),
+        graft.functions.LshBuckets.lshBuckets(col("v"), planes, ppb).as("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val bandOk = composable.keySet.forall { k =>
+        val full = composable(k)
+        bandArr(k).zipWithIndex.forall { case (bucket, b) =>
+          (0 until ppb).forall { j =>
+            ((bucket >> j) & 1L) == ((full >> (b * ppb + j)) & 1L)
+          }
+        }
+      }
+      (singleOk && bandOk) :| s"singleOk=$singleOk bandOk=$bandOk"
+    }
+
+  property("native Tokens/TokenBigrams/BpeMergePair == composable forms") =
+    Prop.forAll(Gen.listOfN(12, genText),
+      Gen.oneOf("dup", "the", "x"), Gen.oneOf("dup", "and", "x")) {
+      (texts, w1, w2) =>
+      import SparkSpecBase.implicits._
+      import graft.operators.TextAnalysis
+      import graft.functions.TokenOps
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      def grabArr(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+        d.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val tokC = grabArr(df.select(col("id"),
+        TextAnalysis.tokensComposable(lower(col("text"))).as("t")))
+      val tokN = grabArr(df.select(col("id"),
+        TokenOps.tokens(lower(col("text"))).as("t")))
+      val tokOk = tokC == tokN
+      val tN = df.select(col("id"), TokenOps.tokens(lower(col("text"))).as("t"))
+      val biC = grabArr(tN.select(col("id"),
+        when(size(col("t")) >= 2,
+          zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")).as("b")))
+      val biN = grabArr(tN.select(col("id"), TokenOps.bigrams(col("t")).as("b")))
+      val biOk = biC == biN
+      // merge step vs the padded double-space replace + re-tokenize trick
+      val mC = grabArr(tN.select(col("id"),
+        TextAnalysis.tokensComposable(
+          call_function("replace",
+            call_function("replace",
+              concat(lit(" "), concat_ws(" ", col("t")), lit(" ")),
+              lit(" "), lit("  ")),
+            lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 "))).as("m")))
+      val mN = grabArr(tN.select(col("id"),
+        TokenOps.bpeMergePair(col("t"), w1, w2).as("m")))
+      val mOk = mC == mN
+      (tokOk && biOk && mOk) :| s"tokOk=$tokOk biOk=$biOk mergeOk=$mOk " +
+        s"pair=($w1,$w2) ex=${texts.headOption.map(_.take(40))}"
+    }
+
+  property("native CmsBuckets == composable md5-56 pmod buckets") =
+    Prop.forAll(Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(1, 6), Gen.oneOf(16, 256, 1000)) { (keys, depth, width) =>
+      import SparkSpecBase.implicits._
+      import org.apache.spark.sql.types.StringType
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "key")
+      val composable = (0 until depth).map { d =>
+        df.select(col("id"),
+          pmod(graft.operators.Dedup.portableHash56(
+            concat(lit(d.toString), lit(":"), col("key").cast(StringType))),
+            lit(width)).as("b"))
+          .collect().map(r => (r.getLong(0), d) -> r.getLong(1)).toMap
+      }.reduce(_ ++ _)
+      val native = df.select(col("id"),
+        posexplode(graft.functions.CmsBuckets
+          .cmsBuckets(col("key").cast(StringType), depth, width)))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val diffs = composable.keySet.filter(k => composable(k) != native(k))
+      diffs.isEmpty :| diffs.take(3).map { case (id, d) =>
+        s"depth=$depth width=$width id=$id d=$d key=${keys(id.toInt)} " +
+          s"composable=${composable((id, d))} native=${native((id, d))}"
+      }.mkString("; ")
+    }
+
   property("native WindowFps == slice/concat_ws/md5 form") =
     Prop.forAll(Gen.listOfN(10, genText), Gen.choose(1, 8)) { (texts, w) =>
       import SparkSpecBase.implicits._
