@@ -403,23 +403,28 @@ object PipelineEntries {
     // 1e-6 integers before the per-doc sum (order-free, cross-engine
     // exact). Docs with <2 tokens have no bigrams and drop out.
     "text_bigram_logprob" -> ((s, dir) => {
-      import graft.functions.Staging.bound
-      val toks = docs(s, dir).select(col("doc_id"),
-          TextAnalysis.tokens(lower(col("text"))).as("t"))
-        .filter(size(col("t")) >= 2)
-      val pairs = toks.select(col("doc_id"),
-        explode(bound(col("t"))(t =>
-          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))).as("pair"))
-      val ctx = toks.select(explode(bound(col("t"))(t =>
-          slice(t, lit(1), size(t) - 1))).as("w1"))
+      // native bigrams (TokenOps.bigrams) exploded straight off the scan:
+      // the explode drops 0/1-token docs for free, so no size filter
+      // re-evaluates the computed token column (the PushDownPredicates
+      // trap), and the context counts derive from the SAME exploded
+      // bigrams — a bigram's first component IS a non-final token, so the
+      // old second corpus scan + slice explode was counting the identical
+      // multiset
+      val pairs = docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.TokenOps.bigrams(
+          graft.functions.TokenOps.tokens(lower(col("text"))))).as("pair"))
+      val ctx = pairs
+        .select(substring_index(col("pair"), " ", 1).as("w1"))
         .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val bi = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
       val lp = bi.join(ctx, substring_index(col("pair"), " ", 1) === col("w1"))
         .select(col("pair"),
           round(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
             * lit(1000000.0), 0).cast(LongType).as("q"))
-      pairs.join(lp, "pair")
+      // hashed final join: only (doc_id, 8-byte key) ride the wide
+      // exchange, never the bigram strings
+      pairs.select(col("doc_id"), xxhash64(col("pair")).as("h"))
+        .join(lp.select(xxhash64(col("pair")).as("h"), col("q")), "h")
         .groupBy(col("doc_id"))
         .agg(round(-sum(col("q")).cast(DoubleType) /
             (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4).as("nll2"),
@@ -489,7 +494,12 @@ object PipelineEntries {
         .select(col("token"),
           round(log(col("c").cast(DoubleType) / col("t").cast(DoubleType))
             * lit(1000000.0), 0).cast(LongType).as("q"))
-      toks.join(lp, "token")
+      // the wide join back onto the exploded corpus carries 8-byte
+      // xxhash64 keys, not the token strings (same collision-irrelevance
+      // argument as every hash-verified dedup join); the narrow vocab
+      // aggregations above still group by the string
+      toks.select(col("doc_id"), xxhash64(col("token")).as("h"))
+        .join(lp.select(xxhash64(col("token")).as("h"), col("q")), "h")
         .groupBy(col("doc_id"))
         .agg(round(-sum(col("q")).cast(DoubleType) /
             (count(lit(1)).cast(DoubleType) * lit(1000000.0)), 4).as("nll"),
