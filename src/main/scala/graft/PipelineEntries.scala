@@ -1480,7 +1480,12 @@ object PipelineEntries {
           GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 100""",
 
     // bigram LM restated: context counts over non-final tokens, pair
-    // counts, logp quantized to 1e-6 ints before the per-doc sum
+    // counts, logp quantized to 1e-6 ints before the per-doc sum.
+    // COLLISION ASSUMPTION: the Spark side's wide logprob join carries
+    // xxhash64(pair) while this oracle joins the pair STRINGS — parity
+    // holds under the repo-wide 2^-64 xxhash64-injectivity assumption
+    // (a colliding vocab pair would both mis-score and duplicate rows);
+    // the same assumption every hash-verified dedup oracle states.
     "text_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksLowerE AS t FROM documents),
           pairs AS (
@@ -1575,7 +1580,11 @@ object PipelineEntries {
           WHERE rn <= 3 AND id < 50""",
 
     // log-probs quantized to 1e-6 integers before the per-doc sum (see
-    // the Spark entry: exact order-free aggregation on both engines)
+    // the Spark entry: exact order-free aggregation on both engines).
+    // COLLISION ASSUMPTION: the Spark side joins on xxhash64(token)
+    // where this oracle joins the token strings — parity rests on the
+    // repo-wide 2^-64 xxhash64-injectivity assumption, as stated on
+    // text_bigram_logprob and every hash-verified dedup oracle.
     "text_unigram_logprob" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksLowerE) AS token FROM documents),

@@ -44,6 +44,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null slot would read garbage — fail loudly (TextBytes.failNullSlot
+      // policy); isNullAt is a bitmap word load, branch-predicted free
+      if (a.isNullAt(i)) TextBytes.failNullSlot("cosine_similarity.left", i)
+      if (b.isNullAt(i)) TextBytes.failNullSlot("cosine_similarity.right", i)
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -65,6 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            throw new IllegalArgumentException(
+              "cosine_similarity: null array element at index " + $i +
+              " - null-filter the embedding column first");
+          }
           double $x = (double) $a.getFloat($i);
           double $y = (double) $b.getFloat($i);
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;

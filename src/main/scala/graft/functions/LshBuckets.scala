@@ -64,6 +64,14 @@ object LshBuckets {
     val dim = planes(0).length
     require(vec.numElements() == dim,
       s"lsh_buckets: vector length ${vec.numElements()} != plane dim $dim")
+    // one pre-scan (cheap vs the bands*ppb*dim fold): getFloat/getDouble
+    // on a null slot would read garbage — fail loudly instead (see
+    // TextBytes.failNullSlot for the policy)
+    var z = 0
+    while (z < dim) {
+      if (vec.isNullAt(z)) TextBytes.failNullSlot("lsh_buckets", z)
+      z += 1
+    }
     val bands = planes.length / ppb
     val out = new Array[Long](bands)
     var b = 0

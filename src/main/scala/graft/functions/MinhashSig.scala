@@ -31,6 +31,12 @@ case class MinhashSig(child: Expression, numHashes: Int)
   require(numHashes >= 1 && numHashes <= 64,
     s"numHashes must be in [1, 64], got $numHashes")
 
+  // containsNull=true is ACCEPTED at analysis time (Catalyst infers it
+  // conservatively for join outputs and HOF-composed arrays even when
+  // no element is ever null) but an ACTUAL null slot fails loudly in
+  // compute() — getLong on a null slot would read garbage under the
+  // declared containsNull=false output (round-13 advice; the loud
+  // runtime guard, TextBytes.failNullSlot, is the enforcement point).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -77,6 +83,7 @@ object MinhashSig {
     java.util.Arrays.fill(out, Long.MaxValue)
     var j = 0
     while (j < n) {
+      if (hs.isNullAt(j)) TextBytes.failNullSlot("minhash_sig", j)
       val h0 = hs.getLong(j)
       val hp = ((h0 % MersenneP) + MersenneP) % MersenneP
       var i = 0

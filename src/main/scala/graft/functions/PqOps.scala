@@ -60,6 +60,9 @@ case class AdcFold(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   require(k >= 1, s"k must be >= 1, got $k")
 
+  // containsNull accepted at analysis time (join outputs carry it
+  // conservatively) but an ACTUAL null slot fails loudly in adcFold —
+  // see MinhashSig for the policy (TextBytes.failNullSlot)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
@@ -94,6 +97,13 @@ object PqOps {
     val dsub = cb(0)(0).length
     require(vec.numElements() == m * dsub,
       s"pq_encode: vector length ${vec.numElements()} != ${m * dsub}")
+    // one pre-scan (cheap vs the m*k*dsub fold below): getFloat/getDouble
+    // on a null slot would read garbage — fail loudly instead
+    var z = 0
+    while (z < m * dsub) {
+      if (vec.isNullAt(z)) TextBytes.failNullSlot("pq_encode", z)
+      z += 1
+    }
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -128,7 +138,10 @@ object PqOps {
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += lut.getDouble(s * k + codes.getInt(s))
+      if (codes.isNullAt(s)) TextBytes.failNullSlot("adc_fold.codes", s)
+      val idx = s * k + codes.getInt(s)
+      if (lut.isNullAt(idx)) TextBytes.failNullSlot("adc_fold.lut", idx)
+      acc += lut.getDouble(idx)
       s += 1
     }
     acc

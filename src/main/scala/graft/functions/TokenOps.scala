@@ -47,6 +47,10 @@ case class Tokens(child: Expression) extends UnaryExpression {
   * each pair string per element. */
 case class TokenBigrams(child: Expression) extends UnaryExpression {
 
+  // containsNull accepted at analysis time; an ACTUAL null slot fails
+  // loudly in bigrams() (UTF8String.concat would silently yield a null
+  // element under the declared containsNull=false output) — see
+  // MinhashSig for the policy (TextBytes.failNullSlot)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -81,6 +85,8 @@ case class TokenBigrams(child: Expression) extends UnaryExpression {
 case class BpeMergePair(child: Expression, w1: String, w2: String)
     extends UnaryExpression {
 
+  // containsNull accepted at analysis time; an ACTUAL null slot fails
+  // loudly in bpeMerge() — see MinhashSig for the policy
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -140,8 +146,10 @@ object TokenOps {
     if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](n - 1)
     var i = 0
+    if (t.isNullAt(0)) TextBytes.failNullSlot("token_bigrams", 0)
     var prev = t.getUTF8String(0)
     while (i < n - 1) {
+      if (t.isNullAt(i + 1)) TextBytes.failNullSlot("token_bigrams", i + 1)
       val next = t.getUTF8String(i + 1)
       out(i) = UTF8String.concat(prev, TokenOps.space, next)
       prev = next
@@ -160,7 +168,8 @@ object TokenOps {
     var nOut = 0
     var i = 0
     while (i < n) {
-      if (i + 1 < n && t.getUTF8String(i).equals(w1) &&
+      if (t.isNullAt(i)) TextBytes.failNullSlot("bpe_merge_pair", i)
+      if (i + 1 < n && !t.isNullAt(i + 1) && t.getUTF8String(i).equals(w1) &&
           t.getUTF8String(i + 1).equals(w2)) {
         out(nOut) = merged; nOut += 1; i += 2
       } else {

@@ -35,6 +35,9 @@ case class WindowFps(left: Expression, right: Expression, w: Int)
     extends BinaryExpression {
   require(w >= 1, s"window width must be >= 1, got $w")
 
+  // containsNull accepted at analysis time; an ACTUAL null position
+  // fails loudly in compute() — see MinhashSig for the policy
+  // (TextBytes.failNullSlot; producer: collect_list, never null slots)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(IntegerType, _)) =>
@@ -92,6 +95,7 @@ object WindowFps {
     val out = new Array[AnyRef](nPos)
     var k = 0
     while (k < nPos) {
+      if (positions.isNullAt(k)) TextBytes.failNullSlot("window_fps", k)
       val p = positions.getInt(k)
       // slice(t, p+1, w) clamps at the array end; an out-of-range start
       // yields the empty join ("" digest), matching concat_ws on the

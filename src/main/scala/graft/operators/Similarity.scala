@@ -119,9 +119,21 @@ object Similarity {
 
   /** The full hyperplane matrix for planes [0, count), precomputed
     * driver-side (tiny: count x dim doubles) and shipped into the native
-    * [[graft.functions.LshBuckets]] expression as a plan reference. */
+    * [[graft.functions.LshBuckets]] expression as a plan reference.
+    *
+    * Memoized per (count, dim): [[graft.functions.LshBuckets]] holds the
+    * matrix as an `Array` field, so Catalyst's case-class equality (and
+    * hence canonicalization, subexpression elimination, and exchange
+    * reuse) is REFERENCE-based — two calls re-tabulating fresh arrays
+    * would never compare equal even with identical planes. The memo
+    * returns the one shared instance, so structurally identical bucket
+    * expressions in one plan ARE recognized as equal. The matrix is
+    * deterministic (portable md5-56 planes) and never mutated. */
+  private val planeMatrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
   private def planeMatrix(count: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(count)(p => planeVector(p, dim).toArray)
+    planeMatrixCache.computeIfAbsent((count, dim),
+      { case (c, d) => Array.tabulate(c)(p => planeVector(p, d).toArray) })
 
   /** Sign-bit LSH bucket id from `numPlanes` random hyperplanes of
     * dimensionality `dim`. Native one-pass ([[graft.functions.LshBuckets]]

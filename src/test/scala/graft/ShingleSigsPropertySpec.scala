@@ -263,6 +263,39 @@ object ShingleSigsPropertySpec extends Properties("shingle-sigs") {
       }.mkString("; ")
     }
 
+  // The null-slot policy (TextBytes.failNullSlot): the native expressions
+  // ACCEPT containsNull=true input types (Catalyst infers them
+  // conservatively for join outputs and HOF-composed arrays) but an
+  // ACTUAL null element must fail loudly — never read garbage under the
+  // declared containsNull=false output. Covers both enforcement styles:
+  // the shared compute helpers (minhash_sig, token_bigrams) and the
+  // inline generated-code throw (cosine_similarity).
+  property("null array slots fail loudly, never compute") = Prop.secure {
+    import SparkSpecBase.implicits._
+    def failsLoudly(body: => Unit): Boolean =
+      try { body; false }
+      catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(c => Option(c.getMessage).exists(_.contains("null array element")))
+      }
+    val mh = failsLoudly {
+      Seq((1L, Seq(Some(3L), None))).toDF("id", "hs")
+        .select(graft.functions.MinhashSig.minhashSig(col("hs"), 4)).collect()
+    }
+    val bi = failsLoudly {
+      Seq((1L, Seq(Some("a"), None, Some("b")))).toDF("id", "t")
+        .select(graft.functions.TokenOps.bigrams(col("t"))).collect()
+    }
+    val cos = failsLoudly {
+      Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+        .toDF("a", "b")
+        .select(graft.functions.CosineSimilarity
+          .cosineNative(col("a"), col("b"))).collect()
+    }
+    (mh && bi && cos) :| s"minhash=$mh bigrams=$bi cosine=$cos"
+  }
+
   property("native WindowFps == slice/concat_ws/md5 form") =
     Prop.forAll(Gen.listOfN(10, genText), Gen.choose(1, 8)) { (texts, w) =>
       import SparkSpecBase.implicits._
