@@ -309,6 +309,19 @@ object PipelineEntries {
         .select(col("id").as("doc_id"), col("n_contaminated"))
     }),
 
+    // decontamination SCALE PATH: Bloom-filter candidate pre-pass
+    // (bounded driver/broadcast state, ~1.2 bytes per benchmark n-gram)
+    // + the same exact verify join. Result-identical to
+    // text_decontaminate by the no-false-negative Bloom contract, so the
+    // oracle is the identical exact-overlap SQL.
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationCountsBloom(
+          d.filter(col("doc_id") >= 100), "doc_id", "text",
+          d.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"), col("n_contaminated"))
+    }),
+
     // Gopher-style quality rules: word count, mean word length,
     // alphabetic-word ratio, stopword presence, combined pass flag
     "text_gopher_rules" -> ((s, dir) =>
@@ -1459,6 +1472,25 @@ object PipelineEntries {
          FROM documents""",
 
     "text_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(generate_series(1, len(t)-7),
+               i -> array_to_string(list_slice(t, i, i+7), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 100),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 100)
+         SELECT c.doc_id, count(*) AS n_contaminated
+         FROM corpus c JOIN bench b ON c.g = b.g
+         GROUP BY 1""",
+
+    // the Bloom pre-pass cannot drop a true hit (no false negatives) and
+    // every false positive dies in the exact verify join, so the scale
+    // path's oracle is the SAME exhaustive exact-overlap statement
+    "text_decontaminate_bloom" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
              x -> x <> '') AS t FROM documents),

@@ -1010,6 +1010,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[contaminationCounts]] with a Bloom-filter candidate pre-pass —
+    * the 100 TB shape. IDENTICAL results by construction: the Bloom
+    * probe has no false negatives (no true hit is ever dropped), and
+    * its false positives die in the exact join that follows, so the
+    * filter only shrinks the rows reaching the join.
+    *
+    * Why it matters at scale: the exact path must get the benchmark's
+    * distinct shingle set next to every corpus shingle — a broadcast
+    * that grows with the benchmark (a large eval suite's 8-gram set
+    * reaches GBs) or, past broadcast size, a full corpus-side shuffle.
+    * The Bloom filter compresses the same membership test to
+    * ~1.2 bytes/n-gram at 1% fpp (bounded driver+broadcast state,
+    * built with one aggregation over the benchmark side), and the
+    * corpus explode is pre-filtered INSIDE whole-stage codegen
+    * ([[graft.functions.BloomMightContainLong]]), so the join — still
+    * exact, still the correctness anchor — sees matches + ~fpp of the
+    * corpus instead of the whole corpus.
+    *
+    * The benchmark side is scanned twice (distinct-count, then the
+    * Bloom aggregation): benchmarks are small by contract, and sizing
+    * the filter from the true distinct count keeps the fpp honest. */
+  def contaminationCountsBloom(docs: DataFrame, idCol: String,
+                               textCol: String, benchmark: DataFrame,
+                               benchIdCol: String, benchTextCol: String,
+                               n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val corpusInv = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleSigs
+          .shingleSigs(lower(col(textCol)), n).as("hs"))
+      .select(col("id"), explode(col("hs")).as("g"))
+    val benchShingles = pooledPersist(benchmark.select(
+        graft.functions.ShingleSigs
+          .shingleSigs(lower(col(benchTextCol)), n).as("hs"))
+      .select(explode(col("hs")).as("g")).distinct())
+    val nBench = math.max(1L, benchShingles.count())
+    val bloom = benchShingles.stat.bloomFilter("g", nBench, fpp)
+    corpusInv
+      .filter(graft.functions.BloomMightContainLong
+        .mightContainLong(col("g"), bloom))
+      .join(benchShingles, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   // --------------------------------------------------- cluster resolution
 
   /** Resolve near-dup pairs into duplicate clusters (connected

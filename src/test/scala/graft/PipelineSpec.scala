@@ -166,6 +166,31 @@ class PipelineSpec extends SparkSpec {
     assert(inc == expected)
   }
 
+  test("bloom decontamination equals the exact path and actually prunes") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val bench = docs.filter(col("doc_id") < 100)
+    def grab(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = grab(Dedup.contaminationCounts(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 8))
+    val bloom = grab(Dedup.contaminationCountsBloom(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 8))
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(bloom === exact)
+    // and the pre-pass is a real pruner, not a pass-through: a filter
+    // built from the benchmark shingles rejects the vast majority of a
+    // disjoint probe set (fpp 0.01 => expect ~1% survivors)
+    val benchShingles = bench.select(
+        graft.functions.ShingleSigs.shingleSigs(lower(col("text")), 8).as("hs"))
+      .select(explode(col("hs")).as("g")).distinct()
+    val n = math.max(1L, benchShingles.count())
+    val filter = benchShingles.stat.bloomFilter("g", n, 0.01)
+    val probes = (1L to 10000L).map(i => 0x9e3779b97f4a7c15L * i)
+    val fpHits = probes.count(filter.mightContainLong)
+    assert(fpHits < 500, s"bloom passed $fpHits of 10000 disjoint probes")
+    Dedup.releaseIntermediates()
+  }
+
   test("label centroid equals the driver-side mean per dimension") {
     import org.apache.spark.sql.functions._
     val got = PipelineEntries.queries("emb_label_centroid")(spark, sfDir)
