@@ -145,6 +145,27 @@ object AnalyticsEntries {
           .as("revenue"))
     }),
 
+    // Z-order (Morton) layout: events written partitioned by the
+    // interleaved-bit cell of (user_id, ts) so a TWO-dimensional box
+    // query prunes at the partition level on BOTH dimensions (S3/S4's
+    // 1-D partitionBy can only prune its leading column). The covering
+    // cells are enumerated driver-side; the exact box predicates stay as
+    // residual filters, so results are layout-independent — the oracle
+    // is the plain filter over the raw table. ts_sec = floor epoch
+    // seconds, so ts_sec BETWEEN t0 AND t1-1 <=> ts >= t0 AND ts < t1.
+    "scan_zorder_box" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val path = s"/root/repo/target/warehouse/$sf/events_zorder"
+      val ev = events(s, dir).withColumn("ts_sec", unix_timestamp(col("ts")))
+      graft.prepare.ZOrder.writeZOrdered(s, ev, path, "user_id", "ts_sec",
+        cellBits = 6)
+      val t0 = java.time.Instant.parse("2024-01-08T00:00:00Z").getEpochSecond
+      val t1 = java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond
+      graft.prepare.ZOrder.boxScan(s, path, "user_id", "ts_sec",
+          40L, 90L, t0, t1 - 1)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
     // range (interval) join: purchases within 5 minutes after a signup
     // bivariate aggregates: Pearson correlation + sample covariance
     // (single-pass co-moment form in both engines)
@@ -495,6 +516,14 @@ object AnalyticsEntries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the z-order layout changes WHERE rows live, never WHICH rows
+    // qualify (covering cells are a superset; exact residual filters) —
+    // the oracle is the plain box filter over the raw table
+    "scan_zorder_box" ->
+      ("SELECT event_id, user_id, value FROM events " +
+       "WHERE user_id BETWEEN 40 AND 90 " +
+       "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+       "AND ts < TIMESTAMP '2024-01-13 00:00:00'"),
     "ext_asof_join" ->
       ("SELECT l.event_id, l.user_id, round(r.value, 4) AS last_purchase " +
        "FROM events l ASOF LEFT JOIN " +

@@ -1,0 +1,182 @@
+package graft.prepare
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout for multi-dimensional scan pruning.
+  *
+  * One-dimensional partitioning (S3/S4: partitionBy(type, day)) prunes
+  * on its leading column only — a box query constrained on TWO
+  * dimensions (user x time, key x day) still reads every partition the
+  * leading dimension admits. Interleaving the bits of both dimensions
+  * into one Morton key makes partition ranges cover rectangles of the
+  * (x, y) grid, so a 2-D box query touches only the partitions whose
+  * rectangle intersects the box — the layout trick behind Delta/Iceberg
+  * OPTIMIZE ZORDER, restated as plain partitioned parquet:
+  *
+  *  - WRITE: grid-normalize (x, y) to `FineBits` bits each, interleave
+  *    to a fine Morton key `z`, partition by its top `cellBits` bits
+  *    (`z_cell` — one directory per grid cell), sort within partitions
+  *    by the fine key (tight row-group min/max on both dimensions).
+  *  - READ: enumerate the cells whose rectangle intersects the query
+  *    box (driver-side, at most 2^cellBits tests), filter
+  *    `z_cell IN (covering)` — partition-level pruning visible as
+  *    PartitionFilters — and keep the EXACT box predicates as residual
+  *    filters, so results never depend on the covering enumeration.
+  *
+  * Grid bounds travel with the layout (`_zmeta.json`): the reader must
+  * normalize with the writer's bounds or cell ids would not line up.
+  * All integer math; interleave(gx, gy) >> 2k == interleave(gx >> k,
+  * gy >> k) (bit pairs drop together), so the coarse cell of a point is
+  * the prefix of its fine key — the property the covering enumeration
+  * relies on.
+  */
+object ZOrder {
+
+  /** Fine grid resolution per dimension (24-bit Morton keys). */
+  val FineBits = 12
+
+  final case class ZMeta(xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+                         cellBits: Int)
+
+  /** Driver-side Morton interleave of two `bits`-bit grid coordinates. */
+  def interleave(gx: Long, gy: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((gx >> i) & 1L) << (2 * i)
+      z |= ((gy >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Magic-bits spread of the low 16 bits of a long Column: bit i moves
+    * to position 2i (the executor-side half of the interleave; stays
+    * inside whole-stage codegen — shifts, masks, ors only). */
+  private def spread(c: Column): Column = {
+    val m0 = lit(0x0000FFFFL)
+    val s1 = (c.bitwiseAND(m0)).bitwiseOR(shiftleft(c.bitwiseAND(m0), 8))
+      .bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Fine Morton key Column of two grid-coordinate Columns. */
+  def mortonCol(gx: Column, gy: Column): Column =
+    spread(gx).bitwiseOR(shiftleft(spread(gy), 1))
+
+  /** Grid coordinate of `v` in [min, max] at `bits` resolution —
+    * (v - min) * 2^bits div range, clamped. EXACT integer arithmetic
+    * (SQL `div` = IntegralDivide), never Column./'s double division: the
+    * executor's write-time cell assignment and the driver's covering
+    * enumeration ([[gridCoordL]]) must agree bit-for-bit, and a 1-ulp
+    * floor(double) discrepancy would silently skip a partition holding
+    * box rows. Monotone, so a value box maps to a grid box; and the
+    * `bits`-bit coordinate is the prefix of the FineBits one
+    * ((a div m) div n = a div (m*n)), which keeps coarse cells prefixes
+    * of fine keys. */
+  def gridCoord(v: Column, min: Long, max: Long, bits: Int): Column = {
+    val range = math.max(1L, max - min + 1L)
+    val raw = call_function("div",
+      (v.cast("long") - lit(min)) * lit(1L << bits), lit(range))
+    least(lit((1L << bits) - 1L), greatest(lit(0L), raw))
+  }
+
+  /** Driver-side twin of [[gridCoord]] for the covering enumeration. */
+  def gridCoordL(v: Long, min: Long, max: Long, bits: Int): Long = {
+    val range = math.max(1L, max - min + 1L)
+    val raw = (v - min) * (1L << bits) / range
+    math.min((1L << bits) - 1L, math.max(0L, raw))
+  }
+
+  /** Write `df` z-ordered on two long-typed columns. Idempotent per
+    * (base definition, bounds, cellBits) via the same canonicalized-plan
+    * marker discipline as [[Bucketing.writeBucketed]]. `cellBits` must
+    * be even (half per dimension); 6 gives an 8x8 grid = up to 64
+    * partition directories. */
+  def writeZOrdered(spark: SparkSession, df: DataFrame, path: String,
+                    xCol: String, yCol: String, cellBits: Int = 6): Unit = {
+    require(cellBits > 0 && cellBits % 2 == 0 && cellBits <= 2 * FineBits,
+      s"cellBits must be even in (0, ${2 * FineBits}], got $cellBits")
+    val basis = df.queryExecution.analyzed.canonicalized.toString +
+      s"|$xCol|$yCol|$cellBits|$FineBits"
+    val defHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val marker = new java.io.File(s"$path/_graft_def_$defHash")
+    if (marker.exists() && new java.io.File(s"$path/_zmeta.json").exists())
+      return
+
+    // grid bounds from the data — one narrow aggregate, written into the
+    // layout's metadata so readers normalize identically
+    val b = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()(0)
+    val meta = ZMeta(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+      cellBits)
+
+    val z = mortonCol(
+      gridCoord(col(xCol), meta.xMin, meta.xMax, FineBits),
+      gridCoord(col(yCol), meta.yMin, meta.yMax, FineBits))
+    df.withColumn("__z", z)
+      .withColumn("z_cell", shiftright(col("__z"), 2 * FineBits - cellBits))
+      // one shuffle keyed by cell so each cell is written by one task
+      // (no file-per-task-per-cell fragmentation), then fine-key sort
+      // for tight row-group min/max on BOTH dimensions
+      .repartition(col("z_cell"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .partitionBy("z_cell")
+      .option("compression", "zstd")
+      .parquet(path)
+
+    val metaJson = s"""{"xMin":${meta.xMin},"xMax":${meta.xMax},""" +
+      s""""yMin":${meta.yMin},"yMax":${meta.yMax},"cellBits":$cellBits}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_zmeta.json"),
+      metaJson.getBytes("UTF-8"))
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("_graft_def_") &&
+        f.getName != marker.getName)
+      .foreach(_.delete())
+    marker.createNewFile()
+    ()
+  }
+
+  def readMeta(path: String): ZMeta = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_zmeta.json")), "UTF-8")
+    def f(k: String): Long =
+      s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    ZMeta(f("xMin"), f("xMax"), f("yMin"), f("yMax"), f("cellBits").toInt)
+  }
+
+  /** The cell ids whose grid rectangle intersects the query box — a
+    * SUPERSET of the cells holding box rows (gridCoord is monotone), so
+    * the exact residual predicates in [[boxScan]] make results
+    * independent of this enumeration. */
+  def coveringCells(meta: ZMeta, xLo: Long, xHi: Long,
+                    yLo: Long, yHi: Long): Seq[Long] = {
+    val cb = meta.cellBits / 2
+    val cxLo = gridCoordL(xLo, meta.xMin, meta.xMax, cb)
+    val cxHi = gridCoordL(xHi, meta.xMin, meta.xMax, cb)
+    val cyLo = gridCoordL(yLo, meta.yMin, meta.yMax, cb)
+    val cyHi = gridCoordL(yHi, meta.yMin, meta.yMax, cb)
+    (for { cx <- cxLo to cxHi; cy <- cyLo to cyHi }
+      yield interleave(cx, cy, cb)).sorted
+  }
+
+  /** Exact box scan over a z-ordered layout: partition pruning via the
+    * covering-cell IN-list (PartitionFilters in the plan) + the exact
+    * box predicates as residual filters. */
+  def boxScan(spark: SparkSession, path: String, xCol: String, yCol: String,
+              xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val meta = readMeta(path)
+    val cells = coveringCells(meta, xLo, xHi, yLo, yHi)
+    spark.read.parquet(path)
+      .filter(col("z_cell").isin(cells: _*))
+      .filter(col(xCol).cast("long").between(xLo, xHi) &&
+        col(yCol).cast("long").between(yLo, yHi))
+  }
+}

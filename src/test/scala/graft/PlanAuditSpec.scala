@@ -39,6 +39,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(event_id)"), plan)
   }
 
+  test("z-order box scan: covering-cell PartitionFilters, real pruning, raw-filter parity") {
+    val df = SparkEntry.queries("scan_zorder_box")(spark, sfDir)
+    val got = df.collect().map(r => r.getLong(0)).toSet
+    // 2-D partition pruning is in the plan: the covering-cell IN-list
+    // lands in PartitionFilters (planning-time directory pruning), the
+    // box predicates in PushedFilters
+    val plan = finalPlan(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("z_cell"), plan)
+    // pruning is REAL: the layout holds more cells than the box reads
+    val sf = new java.io.File(sfDir).getName.replace(".", "_")
+    val path = s"/root/repo/target/warehouse/$sf/events_zorder"
+    val meta = graft.prepare.ZOrder.readMeta(path)
+    val t0 = java.time.Instant.parse("2024-01-08T00:00:00Z").getEpochSecond
+    val t1 = java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond
+    val covering =
+      graft.prepare.ZOrder.coveringCells(meta, 40L, 90L, t0, t1 - 1)
+    val cellDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("z_cell="))
+    assert(covering.size < cellDirs,
+      s"covering=${covering.size} of $cellDirs cells — no pruning")
+    // layout-independence: identical rows to the plain filter on the raw
+    // table (the oracle restates exactly this)
+    val raw = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id").between(40, 90) &&
+        col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(got === raw)
+  }
+
   test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
     val df = scanEngine.executeJson(
       """{"select":["event_id",{"COUNT":"*"}],"from":"events",
