@@ -27,6 +27,19 @@ object GraftSession {
       // naive-timestamp view of the same files.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffles START wide (8x the core count) and AQE coalesces back
+      // to the advisory size at runtime. shuffle.partitions=32 alone is
+      // a FIXED layout: per-partition state (a shuffled-hash-join build
+      // side, an aggregation map) grows linearly with the input until
+      // it bursts execution memory — measured at the 300x fixture,
+      // where join_shuffle_fact/tpch_q9 died with "Can't acquire ...
+      // to build hash relation" under 32 fixed partitions. Starting
+      // wide bounds per-partition state by the ADVISORY size instead of
+      // by input/32 (the property a 1000-executor cluster relies on),
+      // and small scale factors coalesce back to few partitions, so
+      // the sf0.1 headline is unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (scala.util.Try(cpus.toInt).getOrElse(32) * 8).toString)
       // The fixture tables are single ~5-40 MB parquet files; the 128 MB
       // default puts each whole table in ONE scan task, serializing the
       // decode while 31 cores idle. 8 MB recovers intra-file parallelism
