@@ -40,6 +40,13 @@ object GraftSession {
       // the sf0.1 headline is unaffected.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (scala.util.Try(cpus.toInt).getOrElse(32) * 8).toString)
+      // ...and let AQE coalesce INSIDE cached plans too: by default a
+      // persist materializes at the pre-coalesce width (256 tiny cache
+      // partitions here), taxing every cache reader — measured +1 s on
+      // the persist-heavy blocked-jaccard entry at sf0.1 when
+      // initialPartitionNum landed without this.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // The fixture tables are single ~5-40 MB parquet files; the 128 MB
       // default puts each whole table in ONE scan task, serializing the
       // decode while 31 cores idle. 8 MB recovers intra-file parallelism
