@@ -163,7 +163,8 @@ object AnalyticsEntries {
       val t1 = java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond
       graft.prepare.ZOrder.boxScan(s, path, "user_id", "ts_sec",
           40L, 90L, t0, t1 - 1)
-        .select(col("event_id"), col("user_id"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
     }),
 
     // range (interval) join: purchases within 5 minutes after a signup
@@ -520,7 +521,7 @@ object AnalyticsEntries {
     // qualify (covering cells are a superset; exact residual filters) —
     // the oracle is the plain box filter over the raw table
     "scan_zorder_box" ->
-      ("SELECT event_id, user_id, value FROM events " +
+      ("SELECT event_id, user_id, round(value, 4) AS value FROM events " +
        "WHERE user_id BETWEEN 40 AND 90 " +
        "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
        "AND ts < TIMESTAMP '2024-01-13 00:00:00'"),

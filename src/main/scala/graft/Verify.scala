@@ -16,11 +16,19 @@ object Verify {
     // (sf1+), where the scale-path entries remain fully checked.
     val skip = sys.env.getOrElse("GRAFT_VERIFY_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Per-entry wall seconds (plan + execute + write): verify already runs
+    // every entry, so recording times here closes the perf blind spot on
+    // the ~150 entries the bench headline never touches — diffed
+    // round-over-round in the PLANS ledger (round-14 advice #2).
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!skip(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          times(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       } else {
@@ -49,6 +57,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filterNot { case (k, _) => skip(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val timesJson = times.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     spark.stop()
   }
 }

@@ -63,12 +63,16 @@ final class Engine(
     new java.io.File(outDir).mkdirs()
     qs.zipWithIndex.map { case (q, i) =>
       val df = execute(q)
-      val rows = df.collect()
+      // toLocalIterator, not collect: one partition buffered driver-side
+      // at a time, so a SELECT-shaped DSL query over a big table streams
+      // into the single q{i}.csv (the main.py:51-56 contract) under
+      // bounded driver memory instead of materializing the whole result.
+      val rows = df.toLocalIterator()
       val out = new java.io.PrintWriter(s"$outDir/q${i + 1}.csv", "UTF-8")
       try {
         out.println(df.columns.map(csvField).mkString(","))
-        rows.foreach { r =>
-          out.println(r.toSeq.map {
+        while (rows.hasNext) {
+          out.println(rows.next().toSeq.map {
             case null => ""
             case v => csvField(v.toString)
           }.mkString(","))

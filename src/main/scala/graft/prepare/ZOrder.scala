@@ -76,7 +76,20 @@ object ZOrder {
     * box rows. Monotone, so a value box maps to a grid box; and the
     * `bits`-bit coordinate is the prefix of the FineBits one
     * ((a div m) div n = a div (m*n)), which keeps coarse cells prefixes
-    * of fine keys. */
+    * of fine keys.
+    *
+    * NULL coordinates: `least(max, greatest(0, null))` null-SKIPS in
+    * Spark, so a NULL x/y is silently assigned grid cell 0 at write time
+    * (NOT the Hive default partition). Box-scan results stay exact — the
+    * residual box predicates are null-rejecting — but callers reading the
+    * layout directly must not assume null rows were excluded; pre-filter
+    * nulls before writeZOrdered if that matters.
+    *
+    * Overflow contract: `(v - min) * 2^bits` requires
+    * `range <= Long.MaxValue >> bits` — [[writeZOrdered]] requires this
+    * loudly at write time (see [[requireRangeFits]]); beyond it the
+    * multiply would wrap and break the monotonicity the covering-cell
+    * superset guarantee rests on. */
   def gridCoord(v: Column, min: Long, max: Long, bits: Int): Column = {
     val range = math.max(1L, max - min + 1L)
     val raw = call_function("div",
@@ -84,11 +97,30 @@ object ZOrder {
     least(lit((1L << bits) - 1L), greatest(lit(0L), raw))
   }
 
-  /** Driver-side twin of [[gridCoord]] for the covering enumeration. */
+  /** Driver-side twin of [[gridCoord]] for the covering enumeration.
+    * Query-box edges can lie far OUTSIDE the written bounds (the edge
+    * values are caller-supplied, not data), so the input is clamped into
+    * [min, max] BEFORE the multiply — same resulting cell as the
+    * executor twin's post-multiply clamp for every in-range value, and
+    * no overflow for any out-of-range one. */
   def gridCoordL(v: Long, min: Long, max: Long, bits: Int): Long = {
     val range = math.max(1L, max - min + 1L)
-    val raw = (v - min) * (1L << bits) / range
+    val vc = math.min(max, math.max(min, v))
+    val raw = (vc - min) * (1L << bits) / range
     math.min((1L << bits) - 1L, math.max(0L, raw))
+  }
+
+  /** Loud write-time contract for the [[gridCoord]] overflow bound: a
+    * coordinate span >= 2^(63-bits) (e.g. an epoch-NANOS column under
+    * FineBits=12) would overflow the grid multiply and silently corrupt
+    * pruning; pre-scale such columns (e.g. nanos -> seconds) instead. */
+  private[prepare] def requireRangeFits(name: String, min: Long, max: Long,
+                                        bits: Int): Unit = {
+    val limit = Long.MaxValue >> bits
+    require(max - min >= 0 && max - min < limit,
+      s"z-order column '$name' span ${max - min} exceeds the grid-multiply " +
+      s"bound 2^${63 - bits} (bits=$bits); pre-scale the column " +
+      "(e.g. epoch nanos -> seconds) before z-ordering")
   }
 
   /** Write `df` z-ordered on two long-typed columns. Idempotent per
@@ -114,6 +146,8 @@ object ZOrder {
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()(0)
     val meta = ZMeta(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
       cellBits)
+    requireRangeFits(xCol, meta.xMin, meta.xMax, FineBits)
+    requireRangeFits(yCol, meta.yMin, meta.yMax, FineBits)
 
     val z = mortonCol(
       gridCoord(col(xCol), meta.xMin, meta.xMax, FineBits),
@@ -174,7 +208,10 @@ object ZOrder {
               xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
     val meta = readMeta(path)
     val cells = coveringCells(meta, xLo, xHi, yLo, yHi)
-    spark.read.parquet(path)
+    // ParquetNanos.read per the repo invariant: the layout is Spark-self-
+    // written (micros timestamps), so footer detection is a no-op today,
+    // but the layout may carry a raw ts column copied from a nanos source.
+    graft.sources.ParquetNanos.read(spark, path)
       .filter(col("z_cell").isin(cells: _*))
       .filter(col(xCol).cast("long").between(xLo, xHi) &&
         col(yCol).cast("long").between(yLo, yHi))

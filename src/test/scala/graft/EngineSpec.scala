@@ -354,6 +354,27 @@ class EngineSpec extends SparkSpec {
     assert(r1.collect().length == 5) // caller still gets the full result
   }
 
+  test("runBatch streams a large SELECT-shaped result (bounded driver sink)") {
+    import SparkSpecBase.implicits._
+    // 200k rows across many partitions: the toLocalIterator sink buffers
+    // one partition at a time (never the whole result), and the single
+    // q1.csv contract must still hold — row count + spot values checked
+    // by re-reading the file.
+    val n = 200000
+    val df = spark.range(n.toLong).select(col("id"),
+      (col("id") % 97).as("m")).repartition(16)
+    val cat = new graft.schema.Catalog {
+      def table(s: org.apache.spark.sql.SparkSession, nm: String) = df
+    }
+    val eng = new Engine(spark, cat, cacheResults = false)
+    val outDir = "/root/repo/target/tmp/batch_large"
+    eng.runBatch("""[{"select":["id","m"],"from":"t"}]""", outDir)
+    val back = spark.read.option("header", "true").csv(s"$outDir/q1.csv")
+    assert(back.count() == n.toLong)
+    val one = back.filter(col("id") === "123456").collect()
+    assert(one.length == 1 && one(0).getString(1) == (123456 % 97).toString)
+  }
+
   test("distributed cluster propagation (pointer jumping) handles a long chain") {
     import SparkSpecBase.implicits._
     // path graph 0-1-2-...-24: diameter 24 >> maxIter, needs O(log n) rounds

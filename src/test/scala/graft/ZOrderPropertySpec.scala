@@ -86,4 +86,55 @@ object ZOrderPropertySpec extends Properties("zorder") {
       (got == want) :| s"box x=[$xLo,$xHi] y=[$yLo,$yHi] " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}"
     }
+
+  // --- adversarial ranges near Long.MaxValue (round-14 advice #4) ---
+
+  private val limit = Long.MaxValue >> ZOrder.FineBits
+
+  // spans just UNDER the grid-multiply bound: driver arithmetic must not
+  // overflow, coordinates stay monotone in-range
+  property("gridCoordL is monotone+bounded just under the overflow bound") =
+    Prop.forAll(
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2 - limit),
+      Gen.choose(limit / 2, limit - 2),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (min, span, f1, f2) =>
+      val max = min + span
+      val (fa, fb) = if (f1 <= f2) (f1, f2) else (f2, f1)
+      def at(f: Double): Long = min + (BigDecimal(span) * f).toLong
+      val (v1, v2) = (at(fa), at(fb))
+      val g1 = ZOrder.gridCoordL(v1, min, max, ZOrder.FineBits)
+      val g2 = ZOrder.gridCoordL(v2, min, max, ZOrder.FineBits)
+      (g1 <= g2 && g1 >= 0 && g2 < (1L << ZOrder.FineBits)) :|
+        s"min=$min max=$max v1=$v1 v2=$v2 g1=$g1 g2=$g2"
+    }
+
+  // out-of-range probe values (box edges beyond the written bounds) must
+  // clamp, never overflow — even at Long extremes
+  property("gridCoordL clamps out-of-range values at Long extremes") =
+    Prop.forAll(
+      Gen.choose(-1000000L, 1000000L), Gen.choose(0L, 1000000L),
+      Gen.oneOf(Long.MinValue, Long.MinValue + 1, Long.MaxValue,
+        Long.MaxValue - 1)) { (min, span, probe) =>
+      val max = min + span
+      val g = ZOrder.gridCoordL(probe, min, max, ZOrder.FineBits)
+      val expect = if (probe < min) 0L else (1L << ZOrder.FineBits) - 1L
+      (g == expect) :| s"min=$min max=$max probe=$probe g=$g"
+    }
+
+  // spans AT/OVER the bound must fail loudly at write time (the contract
+  // added for round-14 advice #4), not corrupt pruning
+  property("writeZOrdered rejects spans over the grid-multiply bound") =
+    Prop.forAll(Gen.choose(limit, Long.MaxValue - 10),
+      Gen.choose(-5L, 5L)) { (span, minOff) =>
+      import SparkSpecBase.implicits._
+      val min = minOff
+      val df = Seq((min, 0L), (min + span, 1L)).toDF("x", "y")
+      val dir = java.nio.file.Files
+        .createTempDirectory("zorder_overflow").toString + "/layout"
+      val threw =
+        try { ZOrder.writeZOrdered(spark, df, dir, "x", "y", cellBits = 4); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("grid-multiply") }
+      threw :| s"span=$span accepted (must reject >= $limit)"
+    }
 }
