@@ -848,23 +848,29 @@ object PipelineEntries {
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"))),
 
-    // flattened to 16 scalar bins: harness comparators sort rows with
-    // pandas, which cannot hash an array-valued column
+    // REAL image decode: per-doc deterministic PNGs are ImageIO-encoded
+    // on the executors, then ImageIO-decoded back and reduced to
+    // per-channel pixel sums. PNG is lossless, so the oracle restates the
+    // raster formula (Multimodal.imgW/pxR contract) relationally — exact
+    // values, while the Spark side exercises the actual codec both ways.
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s,
-          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"))
-        .select(col("media_id") +: col("n_bytes") +:
-          (0 until 16).map(i =>
-            element_at(col("features"), i + 1).as(s"f$i")): _*)),
+      Multimodal.decodeFeatures(s,
+          Multimodal.pngMediaTable(s, docs(s, dir), "doc_id"))
+        .select(col("media_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))),
 
-    // stride-4 byte downsample (the stand-in for image resize) — output
-    // pinned by byte count + hex head so the mapPartitions path is
-    // oracle-checked end to end
+    // REAL resize over decoded pixels: decode -> nearest-neighbor 2x
+    // downsample -> RE-encode -> decode again -> channel sums, so the
+    // checked values survived two codec round trips
     "mm_resize" -> ((s, dir) =>
-      Multimodal.resizeStub(s,
-          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), stride = 4)
-        .select(col("media_id"), col("n_bytes"),
-          substring(hex(col("blob")), 1, 32).as("head_hex"))),
+      Multimodal.decodeResize(s,
+          Multimodal.pngMediaTable(s, docs(s, dir), "doc_id"), factor = 2)
+        .select(col("media_id"),
+          col("out_w").cast(LongType).as("out_w"),
+          col("out_h").cast(LongType).as("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
 
     "mm_chunks" -> ((s, dir) =>
       Multimodal.sampleChunks(
@@ -2651,34 +2657,41 @@ object PipelineEntries {
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""",
 
-    // the byte-bucket histogram restated over hex pairs: high nibble of
-    // byte i == first hex char of pair i, so bin k = count of pairs whose
-    // first char is hex digit k (DuckDB hex() is uppercase)
-    "mm_features" -> {
-      val bins = (0 until 16).map { k =>
-        val d = Integer.toHexString(k).toUpperCase
-        s"CAST(len(list_filter(bs, b -> b[1] = '$d')) AS BIGINT) AS f$k"
-      }.mkString(",\n           ")
-      s"""WITH p AS (SELECT doc_id,
-             regexp_extract_all(hex(encode(text)), '..') AS bs
-           FROM documents)
-         SELECT doc_id AS media_id, CAST(len(bs) AS BIGINT) AS n_bytes,
-           $bins
-         FROM p"""
-    },
+    // lossless-PNG oracle: the decoded raster equals the deterministic
+    // generation formula (Multimodal.scala imgW/imgH/pxR/pxG/pxB), so the
+    // expected channel sums are a relational double loop over (x, y) —
+    // no codec on the DuckDB side, exact equality on the Spark side
+    "mm_features" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             8 + (doc_id * 7) % 9 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+           FROM d,
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y))
+         SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*17 + x*3 + y*5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id*13 + x*11 + y*3) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, w, h""",
 
+    // nearest-neighbor 2x downsample: out(x,y) = in(2x, 2y), so the
+    // expected sums are the same formula sampled at even coordinates
     "mm_resize" ->
-      """WITH p AS (SELECT doc_id,
-           regexp_extract_all(hex(encode(text)), '..') AS bs
-         FROM documents),
-         r AS (SELECT doc_id,
-           list_transform(
-             list_filter(generate_series(1, len(bs)), i -> (i - 1) % 4 = 0),
-             i -> bs[i]) AS kept
-         FROM p)
-         SELECT doc_id AS media_id, CAST(len(kept) AS BIGINT) AS n_bytes,
-           substr(array_to_string(kept, ''), 1, 32) AS head_hex
-         FROM r""",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             8 + (doc_id * 7) % 9 AS h FROM documents),
+         r AS (SELECT doc_id, w // 2 AS ow, h // 2 AS oh FROM d),
+         px AS (SELECT doc_id, ow, oh, tx.x AS x, ty.y AS y
+           FROM r,
+             UNNEST(generate_series(0, ow - 1)) AS tx(x),
+             UNNEST(generate_series(0, oh - 1)) AS ty(y))
+         SELECT doc_id AS media_id,
+           CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+           CAST(sum((doc_id*31 + (2*x)*7 + (2*y)*13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*17 + (2*x)*3 + (2*y)*5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id*13 + (2*x)*11 + (2*y)*3) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, ow, oh""",
 
     "mm_chunks" ->
       """WITH m AS (SELECT doc_id,

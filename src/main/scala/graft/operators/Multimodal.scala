@@ -6,16 +6,41 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media are opaque `binary` columns plus a typed metadata struct. The
-  * decode step is STUBBED (no media libraries in this environment) with a
-  * deterministic fake — a byte-bucket histogram standing in for "decode +
-  * feature-extract" — but the Spark-side plumbing is real and is what
-  * matters at scale: schema, batch iteration via mapPartitions (the Scala
-  * analogue of arrow-batched Pandas UDFs: amortized per-partition setup,
-  * one pass, no per-row interpreter crossings), and partition sizing so a
-  * partition of blobs fits executor memory.
+  * Media are opaque `binary` columns plus a typed metadata struct, and the
+  * image path is REAL: [[pngMediaTable]] encodes deterministic RGB images
+  * to PNG bytes with the JDK-builtin `javax.imageio` writer on the
+  * executors, [[decodeFeatures]] decodes those bytes back with
+  * `ImageIO.read` and extracts per-channel pixel statistics, and
+  * [[decodeResize]] decodes, nearest-neighbor-downsamples the decoded
+  * raster, RE-encodes to PNG and decodes again — so every value it emits
+  * has survived two encode/decode round trips. PNG is lossless, which is
+  * what makes the oracle exact: decoded pixels equal the generation
+  * formula, so DuckDB can restate the expected statistics from the
+  * formula alone while the Spark side exercises the actual codec.
+  *
+  * The Spark-side shape is what matters at scale: batch iteration via
+  * mapPartitions (the Scala analogue of arrow-batched Pandas UDFs:
+  * amortized per-partition setup — `ImageIO.setUseCache(false)` once, no
+  * per-row interpreter crossings), and partition sizing
+  * ([[repartitionForMedia]]) so a partition of blobs fits executor
+  * memory. Swapping PNG for JPEG/video means swapping the codec call in
+  * the partition loop; the plumbing, schema and oracle discipline stay.
   */
 object Multimodal {
+
+  /** Deterministic image dimensions/pixels for id — the shared contract
+    * between the executor-side PNG fixture and the DuckDB oracle
+    * restatement (all integer arithmetic, SQL-expressible):
+    *   w = 8 + id % 9, h = 8 + (id * 7) % 9    (8..16 per side)
+    *   r(x,y) = (id*31 + x*7  + y*13) % 256
+    *   g(x,y) = (id*17 + x*3  + y*5 ) % 256
+    *   b(x,y) = (id*13 + x*11 + y*3 ) % 256
+    * Requires id >= 0 (doc ids are). */
+  @inline def imgW(id: Long): Int = (8 + id % 9).toInt
+  @inline def imgH(id: Long): Int = (8 + (id * 7) % 9).toInt
+  @inline def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  @inline def pxG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 3 + y * 5) % 256).toInt
+  @inline def pxB(id: Long, x: Int, y: Int): Int = ((id * 13 + x * 11 + y * 3) % 256).toInt
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -34,47 +59,138 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(col(payloadCol)).cast(LongType).as("n_bytes")).as("meta"))
 
-  /** STUB decode + feature extraction: a real pipeline would decode the
-    * image/audio here (e.g. via javacv/libvips on the executor); the
-    * deterministic fake is a 16-bin byte histogram so tests can assert
-    * exact values. Runs via mapPartitions — per-partition batch shape,
-    * exactly where a vectorized decode would sit. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Executor-side PNG encode of the deterministic raster for `id` —
+    * a real `javax.imageio` compress, not a fake payload. */
+  private def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = (imgW(id), imgH(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real PNG blobs, one image per row of `df` keyed by a
+    * non-negative long `idCol`. Encoding runs distributed in
+    * mapPartitions; only the ~0.5 KB PNG bytes ever sit in a row. */
+  def pngMediaTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("n_bytes", LongType),
-      StructField("features", ArrayType(LongType))))
+      StructField("blob", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("n_bytes", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType))))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
-      // per-partition init would open the decoder once, here
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per read
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val hist = new Array[Long](16)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1; i += 1 }
-        Row(id, bytes.length.toLong, hist.toSeq)
+        val png = encodePng(id)
+        Row(id, png, Row("image/png", png.length.toLong, imgW(id), imgH(id)))
       }
     }(enc)
   }
 
-  /** STUB resize: byte-stride downsample standing in for an image
-    * resize — a real pipeline swaps the loop body for the decoder call;
-    * the mapPartitions batch shape (amortized per-partition setup) is
-    * the part that matters. */
-  def resizeStub(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+  /** REAL decode + feature extraction: `ImageIO.read` over the PNG bytes,
+    * then per-channel pixel sums over the decoded raster. Runs via
+    * mapPartitions — per-partition decoder setup, one batch pass, the
+    * exact seat a vectorized JPEG/video decode takes at 100 TB. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("blob", BinaryType),
-      StructField("n_bytes", LongType)))
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
-        Row(r.getLong(0), out, out.length.toLong)
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y)
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }(enc)
+  }
+
+  /** REAL resize: decode the PNG, nearest-neighbor-downsample the decoded
+    * raster by integer `factor` (out(x,y) = in(factor*x, factor*y) — the
+    * one resampling kernel with an exact relational restatement), then
+    * RE-encode to PNG and decode AGAIN before computing the output pixel
+    * sums, so the emitted values prove a full encode->decode->resize->
+    * encode->decode round trip through the codec. */
+  def decodeResize(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val ow = math.max(1, img.getWidth / factor)
+        val oh = math.max(1, img.getHeight / factor)
+        val small = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            small.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream(512)
+        javax.imageio.ImageIO.write(small, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val v = back.getRGB(x, y)
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, ow, oh, sr, sg, sb)
       }
     }(enc)
   }

@@ -357,25 +357,55 @@ class PipelineSpec extends SparkSpec {
     assert(j > 0.5, s"winnowing jaccard of near-dups: $j")
   }
 
-  test("multimodal feature stub: histogram sums to byte length") {
-    val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
-    val feats = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.nonEmpty)
+  test("multimodal decode: ImageIO roundtrip recovers the exact raster") {
+    val media = Multimodal.pngMediaTable(spark, docs.limit(10), "doc_id")
+    // blobs are real PNGs (magic bytes), metadata matches the contract
+    media.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("blob")
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+      val id = r.getLong(0)
+      val meta = r.getStruct(2)
+      assert(meta.getString(0) == "image/png")
+      assert(meta.getInt(2) == Multimodal.imgW(id) &&
+        meta.getInt(3) == Multimodal.imgH(id))
+    }
+    // decoded channel sums equal the generation formula (PNG lossless)
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 10)
     feats.foreach { r =>
-      assert(r.getSeq[Long](2).sum == r.getLong(1))
+      val id = r.getLong(0)
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == w.toLong * h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += Multimodal.pxR(id, x, y)
+        eg += Multimodal.pxG(id, x, y)
+        eb += Multimodal.pxB(id, x, y)
+      }
+      assert(r.getLong(4) == er && r.getLong(5) == eg && r.getLong(6) == eb,
+        s"decoded sums diverge for doc $id")
     }
   }
 
-  test("multimodal resize stub halves-ish payloads; repartition sizes by bytes") {
-    val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
-    val resized = Multimodal.resizeStub(spark, media, stride = 4).collect()
-    val orig = media.select(col("media_id"), col("meta.n_bytes").as("nb"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("multimodal resize: NN-downsampled sums survive re-encode; repartition sizes by bytes") {
+    val media = Multimodal.pngMediaTable(spark, docs.limit(20), "doc_id")
+    val resized = Multimodal.decodeResize(spark, media, factor = 2).collect()
     resized.foreach { r =>
-      val expect = (orig(r.getLong(0)) + 3) / 4
-      assert(r.getLong(2) == expect)
+      val id = r.getLong(0)
+      val (ow, oh) = (Multimodal.imgW(id) / 2, Multimodal.imgH(id) / 2)
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        er += Multimodal.pxR(id, 2 * x, 2 * y)
+        eg += Multimodal.pxG(id, 2 * x, 2 * y)
+        eb += Multimodal.pxB(id, 2 * x, 2 * y)
+      }
+      assert(r.getLong(3) == er && r.getLong(4) == eg && r.getLong(5) == eb,
+        s"resized sums diverge for doc $id")
     }
-    val repart = Multimodal.repartitionForMedia(media, targetPartitionBytes = 2048)
+    val textMedia = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
+    val repart = Multimodal.repartitionForMedia(textMedia, targetPartitionBytes = 2048)
     assert(repart.rdd.getNumPartitions >= 2) // ~10KB of text over 2KB targets
   }
 
