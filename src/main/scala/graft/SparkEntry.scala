@@ -59,11 +59,13 @@ object SparkEntry {
     val root = preparedRoots.getOrElseUpdate(sfDir, this.synchronized {
       val name = new java.io.File(sfDir).getName
       val r = s"/root/repo/target/prepared/$name"
-      // marker is versioned with the default-aggregates set: a layout
-      // from an older build (missing a rollup) must rebuild, not break
-      if (!new java.io.File(s"$r/_PREPARED_v3").exists()) {
-        Prepare.run(s, graft.sources.ParquetNanos.read(s, s"$sfDir/events.parquet"), r)
-        new java.io.File(s"$r/_PREPARED_v3").createNewFile()
+      // marker is versioned with the default-aggregates + layout set: a
+      // layout from an older build (missing a rollup or the z-order
+      // secondary) must rebuild, not break
+      if (!new java.io.File(s"$r/_PREPARED_v4").exists()) {
+        Prepare.run(s, graft.sources.ParquetNanos.read(s, s"$sfDir/events.parquet"), r,
+          zorder = Prepare.defaultZOrder)
+        new java.io.File(s"$r/_PREPARED_v4").createNewFile()
       }
       r
     })
@@ -72,7 +74,8 @@ object SparkEntry {
     // call would discard the ResultCache between queries, turning every
     // repeat query into a re-execution instead of a LocalRelation hit
     preparedEngines.getOrElseUpdate((sfDir, cacheResults),
-      new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates(), cacheResults))
+      new Engine(s, PreparedCatalog(root), Prepare.defaultAggregates(), cacheResults,
+        zlayouts = Prepare.zLayoutDefs(root)))
   }
 
   private def dslPrepared(json: String, renames: (String, String)*)
@@ -371,6 +374,16 @@ object SparkEntry {
                   {"col":"day","op":"between","val":["2024-01-05","2024-01-25"]}],
          "group_by":["day"]}""",
       "sum(value)" -> "sum_value", "count(*)" -> "cnt"),
+
+    // DSL box query on BOTH (user_id, ts) routes to the z-ordered
+    // secondary layout (ZOrderRouter): covering-cell partition pruning +
+    // every original predicate re-applied — oracle is the plain filter
+    // over the raw table, proving layout-independence end to end.
+    "route_zorder_box" -> dslPrepared(
+      """{"select":["event_id","user_id","value"],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}]}"""),
 
     "route_user_type" -> dslPrepared(
       """{"select":["user_id",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
@@ -1198,6 +1211,11 @@ object SparkEntry {
       s"SELECT $dayE AS day, round(sum(value),4) AS sum_value, count(*) AS cnt FROM events WHERE event_type = 'purchase' AND $dayE BETWEEN DATE '2024-01-05' AND DATE '2024-01-25' GROUP BY 1",
     "route_user_type" ->
       "SELECT user_id, count(*) AS cnt, round(sum(value),4) AS sum_value FROM events GROUP BY 1",
+    "route_zorder_box" ->
+      ("SELECT event_id, user_id, round(value,4) AS value FROM events " +
+       "WHERE user_id BETWEEN 40 AND 90 " +
+       "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+       "AND ts < TIMESTAMP '2024-01-13 00:00:00'"),
     "route_minute_rollup" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1",
     "scan_partition_pruned" ->

@@ -101,9 +101,14 @@ object Compiler {
 
   /** Compile a query against a catalog. The resulting DataFrame is lazy;
     * nothing executes until an action. */
-  def compile(spark: SparkSession, q: Query, catalog: Catalog): DataFrame = {
-    val base = catalog.table(spark, q.from)
+  def compile(spark: SparkSession, q: Query, catalog: Catalog): DataFrame =
+    compileOn(spark, q, catalog.table(spark, q.from))
 
+  /** Compile a query against an explicit base DataFrame — the anchor the
+    * z-order route ([[ZOrderRouter.execute]]) uses to re-apply EVERY
+    * original predicate on the pruned scan, so routed results never
+    * depend on the layout or the covering enumeration. */
+  def compileOn(spark: SparkSession, q: Query, base: DataFrame): DataFrame = {
     // WHERE: AND-combined (claude.md:122). Chained filters; Catalyst's
     // CombineFilters merges them into one predicate.
     val filtered = q.where.foldLeft(base)((df, c) => df.filter(predColumn(df, c)))

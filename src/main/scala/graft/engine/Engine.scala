@@ -23,7 +23,8 @@ final class Engine(
     val spark: SparkSession,
     val catalog: Catalog,
     val aggregates: Seq[AggTableDef] = Nil,
-    cacheResults: Boolean = true) {
+    cacheResults: Boolean = true,
+    val zlayouts: Seq[ZLayoutDef] = Nil) {
 
   import Engine._
 
@@ -48,8 +49,19 @@ final class Engine(
         lastRoute = Routed(d.name)
         AggregateRouter.execute(spark, q, d, residual, catalog)
       case None =>
-        lastRoute = Scanned
-        Compiler.compile(spark, q, catalog)
+        // z-ordered secondary layouts answer 2-D box-constrained queries
+        // with covering-cell partition pruning; exactness proof in
+        // ZOrderRouter. Tried after rollups (a rollup answer is smaller).
+        zlayouts.iterator
+          .flatMap(d => ZOrderRouter.matches(q, d).map(b => (d, b)))
+          .nextOption() match {
+          case Some((d, b)) =>
+            lastRoute = ZRouted(d.name)
+            ZOrderRouter.execute(spark, q, d, b)
+          case None =>
+            lastRoute = Scanned
+            Compiler.compile(spark, q, catalog)
+        }
     }
     if (cacheResults) cache.put(spark, key, df) else df
   }
@@ -95,6 +107,7 @@ object Engine {
   sealed trait Route
   case object CacheHit extends Route
   final case class Routed(table: String) extends Route
+  final case class ZRouted(layout: String) extends Route
   case object Scanned extends Route
 
   /** Convenience: engine over a plain directory of parquet tables. */

@@ -1,0 +1,143 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dsl.QueryIR._
+import graft.prepare.ZOrder
+import graft.schema.EventTime
+
+/** A z-ordered secondary layout of a source table, registered with the
+  * [[Engine]] so DSL queries constraining BOTH layout dimensions route to
+  * [[ZOrder.boxScan]]'s 2-D partition pruning instead of the 1-D
+  * partitioned fact scan.
+  *
+  * `xCol` is an integral column stored as-is; the event-time dimension is
+  * stored as `ts_sec` ([[ZOrderRouter.SecCol]]) = floor epoch seconds of
+  * `tsCol`, so timestamp predicates map to second-floor boxes (always a
+  * SUPERSET — see the routing proof below). Built opt-in by
+  * [[graft.prepare.Prepare.run]]; absent layouts (`_zmeta.json` missing,
+  * e.g. invalidated by an incremental refresh) simply never match.
+  */
+final case class ZLayoutDef(
+    name: String,
+    sourceTable: String,
+    xCol: String,
+    tsCol: String,
+    path: String) {
+  def exists: Boolean = new java.io.File(s"$path/_zmeta.json").exists()
+}
+
+/** Routes a DSL query to a z-ordered layout when provably exact.
+  *
+  * Exactness proof (same discipline as [[AggregateRouter]]'s containment
+  * obligations, but simpler because the layout holds FULL rows, not an
+  * aggregate):
+  *  1. the query's WHERE is a flat conjunction of leaf conditions
+  *     (OR/NOT trees refuse routing — interval extraction below is only
+  *     valid for conjunctions);
+  *  2. the extracted (x, ts_sec) box is a SUPERSET of the rows any
+  *     combination of the query's own predicates admits: every bound
+  *     comes from one conjunct loosened monotonically (Gt -> Gte at the
+  *     same value; timestamp bounds floored to seconds, and
+  *     floor(ts) in [floor(lo), floor(hi)] whenever ts in [lo, hi]);
+  *  3. [[ZOrder.boxScan]] reads a covering superset of that box's cells
+  *     and re-applies the box; then [[Compiler.compileOn]] re-applies
+  *     EVERY original predicate verbatim on the scanned rows.
+  * Superset scan + exact original predicates => results are independent
+  * of the layout, the covering enumeration, and the box extraction. A
+  * query that fails any extraction step falls through to the plain scan.
+  */
+object ZOrderRouter {
+
+  /** Column name of the epoch-second time dimension in z layouts. */
+  val SecCol = "ts_sec"
+
+  final case class Box(xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+
+  private def asLong(l: Lit): Option[Long] = l match {
+    case ILit(v) => Some(v)
+    case SLit(v) => v.toLongOption
+    case _ => None
+  }
+
+  /** Epoch-second FLOOR of a DSL date/timestamp string literal — the same
+    * UTC wall-clock reading the compiler's cast-to-timestamp applies in
+    * this UTC-pinned session ([[graft.GraftSession]]). Unparseable
+    * literals return None, which refuses routing (never loosens a bound
+    * it can't prove). */
+  private def asEpochSec(l: Lit): Option[Long] = l match {
+    case SLit(raw) =>
+      val s = raw.trim.replace('T', ' ')
+      try {
+        if (s.length == 10)
+          Some(java.time.LocalDate.parse(s)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+        else {
+          val norm = if (s.length == 16) s + ":00" else s
+          // LocalDateTime.toEpochSecond ignores the nano component ==
+          // floor for the non-negative epoch range the DSL uses
+          Some(java.time.LocalDateTime.parse(norm.replace(' ', 'T'))
+            .toEpochSecond(java.time.ZoneOffset.UTC))
+        }
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    case _ => None
+  }
+
+  /** Bounded superset interval for `colName` from the conjunction. Each
+    * conjunct only TIGHTENS (max of lower bounds, min of upper bounds);
+    * a conjunct whose literal doesn't map stays unapplied, which can only
+    * loosen the interval — still a superset. Gt/Lt use the closed bound
+    * at the same value (superset of the open one; on the floored time
+    * dimension the closed bound is also the tightest sound choice).
+    * Returns None unless BOTH ends are bounded — an unbounded stripe
+    * gains little from 2-D pruning, so it stays on the fact layout. */
+  private def interval(conds: Seq[Cond], colName: String,
+                       toLong: Lit => Option[Long]): Option[(Long, Long)] = {
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    conds.filter(_.col.equalsIgnoreCase(colName)).foreach { c =>
+      c.op match {
+        case Eq =>
+          toLong(c.values.head).foreach { v => tightenLo(v); tightenHi(v) }
+        case Between =>
+          for (a <- toLong(c.values.head); b <- toLong(c.values(1))) {
+            tightenLo(a); tightenHi(b)
+          }
+        case In =>
+          val vs = c.values.flatMap(v => toLong(v))
+          if (vs.nonEmpty && vs.size == c.values.size) {
+            tightenLo(vs.min); tightenHi(vs.max)
+          }
+        case Gte | Gt => toLong(c.values.head).foreach(tightenLo)
+        case Lte | Lt => toLong(c.values.head).foreach(tightenHi)
+        case Neq => () // exact predicate re-applies post-scan
+      }
+    }
+    for (l <- lo; h <- hi if l <= h) yield (l, h)
+  }
+
+  /** Can `q` route to layout `d`? Returns the superset box if both
+    * dimensions are bounded by the query's conjunction. */
+  def matches(q: Query, d: ZLayoutDef): Option[Box] = {
+    if (!q.from.equalsIgnoreCase(d.sourceTable)) return None
+    if (!d.exists) return None
+    val conds = q.where.collect { case c: Cond => c }
+    if (conds.size != q.where.size) return None // flat conjunction only
+    for {
+      x <- interval(conds, d.xCol, asLong)
+      y <- interval(conds, d.tsCol, asEpochSec)
+    } yield Box(x._1, x._2, y._1, y._2)
+  }
+
+  /** Execute `q` over the pruned box scan: covering-cell PartitionFilters
+    * from [[ZOrder.boxScan]], derived time columns restored, then the
+    * FULL original query (every predicate, aggregation, order, limit)
+    * compiled on top — the exactness anchor. */
+  def execute(spark: SparkSession, q: Query, d: ZLayoutDef, b: Box): DataFrame = {
+    val scan = ZOrder.boxScan(spark, d.path, d.xCol, SecCol,
+      b.xLo, b.xHi, b.yLo, b.yHi)
+    Compiler.compileOn(spark, q, EventTime.withDerived(scan, d.tsCol))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.AggTableDef
+import graft.engine.{AggTableDef, ZLayoutDef, ZOrderRouter}
 import graft.schema.EventTime
 
 /** The prepare phase: raw events -> query-optimized layout.
@@ -55,12 +55,30 @@ object Prepare {
     AggTableDef("agg_day_minute_value", "events", Nil,
       keys = Seq("day", "minute"), measures = Seq(valueCol)))
 
+  /** Opt-in z-ordered secondary layout: `name` under `<outRoot>/zorder/`,
+    * Morton-interleaved on (`xCol`, floor-epoch-seconds of `tsCol`) — the
+    * 2-D pruning path for box queries on (entity, time), routed to by the
+    * Engine via the matching [[ZLayoutDef]] ([[zLayoutDefs]]). */
+  final case class ZOrderSpec(name: String, xCol: String,
+                              tsCol: String = "ts", cellBits: Int = 6)
+
+  /** The (user, time) layout the harness events table wants. */
+  def defaultZOrder: Seq[ZOrderSpec] = Seq(ZOrderSpec("z_user_ts", "user_id"))
+
+  /** Engine-side routing defs for layouts written by [[run]] — path
+    * logic lives here so writer and router can never disagree. */
+  def zLayoutDefs(outRoot: String,
+                  specs: Seq[ZOrderSpec] = defaultZOrder): Seq[ZLayoutDef] =
+    specs.map(zs => ZLayoutDef(zs.name, "events", zs.xCol, zs.tsCol,
+      s"$outRoot/zorder/${zs.name}"))
+
   /** Run the full prepare job. `events` is the raw table (CSV or parquet
     * already loaded); derived time columns are added here. */
   def run(spark: SparkSession, events: DataFrame, outRoot: String,
           aggregates: Seq[AggTableDef] = defaultAggregates(),
           partitionCols: Seq[String] = Seq("event_type", "day"),
-          clusterBy: Seq[String] = Nil): Unit = {
+          clusterBy: Seq[String] = Nil,
+          zorder: Seq[ZOrderSpec] = Nil): Unit = {
     val derived = EventTime.withDerived(events)
 
     // 1. Partitioned fact table. ZSTD + row-group stats, like the
@@ -94,6 +112,17 @@ object Prepare {
         .mode(SaveMode.Overwrite)
         .option("compression", "zstd")
         .parquet(s"$outRoot/aggregates/${d.name}")
+    }
+
+    // 2b. Opt-in z-ordered secondary layouts (full-row copies, Morton-
+    //     partitioned): one extra shuffle each over the freshly written
+    //     columnar fact. ts_sec = floor epoch seconds keeps the time
+    //     dimension integral for the grid math.
+    zorder.foreach { zs =>
+      val zdf = fact.withColumn(ZOrderRouter.SecCol,
+        unix_timestamp(col(zs.tsCol)))
+      ZOrder.writeZOrdered(spark, zdf, s"$outRoot/zorder/${zs.name}",
+        zs.xCol, ZOrderRouter.SecCol, zs.cellBits)
     }
 
     // 3. Dataset statistics, key/value (reference: prepare_optimized.py:
@@ -156,6 +185,14 @@ object Prepare {
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+
+    // Z-ordered secondary layouts are full-row copies, so an append makes
+    // them STALE — a routed box scan would silently miss the new rows.
+    // Invalidate (delete) rather than rebuild: routing checks _zmeta.json
+    // existence and falls back to the fact scan; the next full prepare
+    // (or an explicit writeZOrdered) restores the layout.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outRoot/zorder"), true)
+
     aggregates.foreach { d =>
       val path = s"$outRoot/aggregates/${d.name}"
       val tmp = s"$outRoot/aggregates/.tmp_${d.name}"

@@ -71,6 +71,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(got === raw)
   }
 
+  test("z-order ROUTED dsl box query: ZRouted + covering-cell PartitionFilters + scan parity") {
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    val json =
+      """{"select":["event_id","user_id","value"],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}]}"""
+    val df = eng.executeJson(json)
+    // the engine chose the z layout, not the fact scan
+    assert(eng.lastRoute == Engine.ZRouted("z_user_ts"), eng.lastRoute.toString)
+    // 2-D pruning is in the plan: covering-cell IN-list as PartitionFilters
+    val pf = df.queryExecution.sparkPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("z_cell"), pf)
+    // exactness: identical rows to the same DSL query on the raw table
+    val routed = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scanned = scanEngine.executeJson(json).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(routed === scanned)
+    // a query bounded on only ONE dimension must NOT route
+    val one = eng.executeJson(
+      """{"select":["event_id"],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]}]}""")
+    one.queryExecution.sparkPlan // force planning
+    assert(eng.lastRoute == Engine.Scanned, eng.lastRoute.toString)
+  }
+
   test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
     val df = scanEngine.executeJson(
       """{"select":["event_id",{"COUNT":"*"}],"from":"events",
