@@ -98,6 +98,7 @@ object BenchStream {
     println(json)
 
     latencyPhase(spark, sfDir, sfName)
+    statePhase(spark, sfDir, sfName)
     spark.stop()
   }
 
@@ -163,6 +164,104 @@ object BenchStream {
         "\"" + n + "\":" + b }.mkString(",") + "}," +
       s""""sf":"$sfDir"}"""
     Files.writeString(Paths.get("target/stream_latency.json"), json + "\n")
+    println(json)
+  }
+
+  /** State-growth evidence (`target/stream_state.json`): drive the two
+    * stateful shapes over >= 20 TIME-ORDERED micro-batches and record the
+    * state store's rows/bytes after every batch. The claim under test is
+    * boundedness on an unbounded stream:
+    *  - dropDuplicatesWithinWatermark: keys older than the watermark are
+    *    EVICTED, so state rows track the last-hour key arrival rate, flat
+    *    while cumulative input grows ~linearly per batch;
+    *  - flatMapGroupsWithState sessionizer: one open-session record per
+    *    user, so state rows plateau at the distinct-user count.
+    * Time order matters (the watermark only advances with event time), so
+    * the input is staged as 24 sequential time slices — sequential writes
+    * give increasing file mod times, which is the file source's
+    * processing order. */
+  private def statePhase(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, sfName: String): Unit = {
+    val nSlices = 24
+    val stageDir =
+      new java.io.File(s"/root/repo/target/tmp/events_timeslices_$sfName")
+    if (!stageDir.exists()) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val ev = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+      val b = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1) + 1)
+      (0 until nSlices).foreach { i =>
+        val a = lo + (hi - lo) * i / nSlices
+        val z = lo + (hi - lo) * (i + 1) / nSlices
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < z)
+          .coalesce(1).write.mode("append").parquet(stageDir.toString)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+
+    final case class BatchState(inputRows: Long, stateRows: Long,
+                                stateBytes: Long)
+    def drive(name: String, out: org.apache.spark.sql.DataFrame,
+              mode: OutputMode): (String, Seq[BatchState]) = {
+      val q = out.writeStream.format("memory")
+        .queryName(s"state_$name").outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+        .map { p =>
+          BatchState(p.numInputRows,
+            p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum)
+        }
+      spark.catalog.dropTempView(s"state_$name")
+      (name, batches)
+    }
+
+    import spark.implicits._
+    val runs = Seq(
+      drive("dedup",
+        graft.streaming.StreamOps
+          .dedupeStream(src, Seq("user_id", "event_type"), "ts")
+          .select(col("user_id"), col("event_type")),
+        OutputMode.Append()),
+      drive("sessionize",
+        graft.streaming.StreamOps.sessionizeStream(
+          src.select(col("user_id"), col("ts"))
+            .as[graft.streaming.StreamOps.SessionEvent]).toDF(),
+        OutputMode.Append()))
+
+    // flat = the tail is not growing: last-batch state within 1.25x the
+    // median of the second half (plateau), and far below cumulative input
+    def verdict(bs: Seq[BatchState]): (Boolean, String) = {
+      val rows = bs.map(_.stateRows)
+      val half = rows.drop(rows.size / 2).sorted
+      val med = half(half.size / 2)
+      val cumulative = bs.map(_.inputRows).sum
+      val flat = rows.last <= (med * 1.25).toLong + 8 &&
+        rows.last < cumulative / 4
+      (flat, s"last=${rows.last} medianTail=$med cumulativeInput=$cumulative")
+    }
+    val json = "{" +
+      "\"metric\":\"stream_state\",\"slices\":" + nSlices + "," +
+      runs.map { case (n, bs) =>
+        val (flat, why) = verdict(bs)
+        System.err.println(f"$n%-12s batches=${bs.size} flat=$flat  $why")
+        "\"" + n + "\":{" +
+          "\"batches\":" + bs.size + "," +
+          "\"flat\":" + flat + "," +
+          "\"state_rows\":[" + bs.map(_.stateRows).mkString(",") + "]," +
+          "\"state_bytes\":[" + bs.map(_.stateBytes).mkString(",") + "]," +
+          "\"input_rows\":[" + bs.map(_.inputRows).mkString(",") + "]}"
+      }.mkString(",") +
+      s""","sf":"$sfDir"}"""
+    Files.writeString(Paths.get("target/stream_state.json"), json + "\n")
     println(json)
   }
 }
