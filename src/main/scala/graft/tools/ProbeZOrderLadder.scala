@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.prepare.ZOrder
+
+/** Scale-ladder evidence for the z-ordered layout: on a given fixture,
+  * write the (user_id, ts_sec) Morton layout once, then compare the
+  * 2-D box query three ways —
+  *  - raw:   unpartitioned parquet scan + pushed filters (row-group
+  *           stats are the only pruning available);
+  *  - zbox:  covering-cell boxScan (directory-level pruning on BOTH
+  *           dimensions + the same residual filters).
+  * Records wall time (toRdd protocol), row parity, and the I/O story:
+  * bytes under the covering cells vs the whole layout — the fraction a
+  * 1000-executor cluster would actually read.
+  *
+  * Usage: runMain graft.tools.ProbeZOrderLadder <sfDir> [label]
+  */
+object ProbeZOrderLadder {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val label = if (args.length > 1) args(1) else new java.io.File(sfDir).getName
+    val spark = graft.GraftSession.builder("32")
+      .appName("probe-zorder-ladder").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val path = s"/root/repo/target/warehouse/zladder_$label"
+    ZOrder.writeZOrdered(spark,
+      raw.withColumn("ts_sec", unix_timestamp(col("ts"))),
+      path, "user_id", "ts_sec", cellBits = 6)
+
+    val t0 = java.time.Instant.parse("2024-01-08T00:00:00Z").getEpochSecond
+    val t1 = java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond
+    def boxDf = ZOrder.boxScan(spark, path, "user_id", "ts_sec",
+      40L, 90L, t0, t1 - 1).select(col("event_id"))
+    def rawDf = raw.filter(col("user_id").between(40, 90) &&
+        col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .select(col("event_id"))
+
+    def time(build: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val rows = build().queryExecution.toRdd.count()
+      val best = (1 to 3).map { _ =>
+        val s = System.nanoTime()
+        build().queryExecution.toRdd.count()
+        (System.nanoTime() - s) / 1e9
+      }.min
+      (best, rows)
+    }
+    val (tZ, rowsZ) = time(() => boxDf)
+    val (tRaw, rowsRaw) = time(() => rawDf)
+    require(rowsZ == rowsRaw, s"parity: z=$rowsZ raw=$rowsRaw")
+
+    // I/O fraction: bytes under covering cells vs whole layout
+    val meta = ZOrder.readMeta(path)
+    val cells = ZOrder.coveringCells(meta, 40L, 90L, t0, t1 - 1).toSet
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+    val cellDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("z_cell="))
+    val totalBytes = cellDirs.map(dirBytes).sum
+    val readBytes = cellDirs.filter(d =>
+      cells(d.getName.stripPrefix("z_cell=").toLong)).map(dirBytes).sum
+
+    val json = "{" +
+      s""""metric":"zorder_ladder","label":"$label","sf":"$sfDir",""" +
+      s""""rows":$rowsZ,"cells_read":${cells.size},"cells_total":${cellDirs.length},""" +
+      s""""bytes_read":$readBytes,"bytes_total":$totalBytes,""" +
+      f""""read_frac":${readBytes.toDouble / math.max(1L, totalBytes)}%.4f,""" +
+      f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/zorder_ladder_$label.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
