@@ -76,12 +76,19 @@ object MakeSfN {
       println(s"wrote $dst")
     }
 
+    // optional 4th arg: comma-separated table subset (e.g. "events") for
+    // single-table stress fixtures where replicating the full directory
+    // would waste minutes and GBs
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
+
     new java.io.File(outDir).mkdirs()
-    val dims = Seq("region", "nation")
+    val dims = Seq("region", "nation").filter(wanted)
     dims.foreach { t =>
       writeOne(t, graft.sources.ParquetNanos.read(spark, s"$inDir/$t.parquet"))
     }
-    offsets.foreach { case (t, keys) =>
+    offsets.filter { case (t, _) => wanted(t) }.foreach { case (t, keys) =>
       val base = graft.sources.ParquetNanos.read(spark, s"$inDir/$t.parquet")
       val replicated = base
         .withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
