@@ -385,6 +385,18 @@ object SparkEntry {
                   {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
                   {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}]}"""),
 
+    // the z route composes with aggregation: a grouped aggregate whose
+    // WHERE boxes both dimensions is un-routable to any rollup (ts is no
+    // rollup key), so it lands on the pruned box scan and aggregates
+    // there — same covering-cell pruning, same exactness anchor
+    "route_zorder_box_agg" -> dslPrepared(
+      """{"select":["event_type",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}],
+         "group_by":["event_type"]}""",
+      "count(*)" -> "cnt", "sum(value)" -> "sum_value"),
+
     "route_user_type" -> dslPrepared(
       """{"select":["user_id",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
          "group_by":["user_id"]}""",
@@ -1216,6 +1228,11 @@ object SparkEntry {
        "WHERE user_id BETWEEN 40 AND 90 " +
        "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
        "AND ts < TIMESTAMP '2024-01-13 00:00:00'"),
+    "route_zorder_box_agg" ->
+      ("SELECT event_type, count(*) AS cnt, round(sum(value),4) AS sum_value " +
+       "FROM events WHERE user_id BETWEEN 40 AND 90 " +
+       "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
+       "AND ts < TIMESTAMP '2024-01-13 00:00:00' GROUP BY event_type"),
     "route_minute_rollup" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1",
     "scan_partition_pruned" ->

@@ -8,7 +8,15 @@ import graft.prepare.ZOrder
   * write the (user_id, ts_sec) Morton layout once, then compare the
   * 2-D box query three ways —
   *  - raw:   unpartitioned parquet scan + pushed filters (row-group
-  *           stats are the only pruning available);
+  *           stats are the only pruning available). NOTE the replica
+  *           fixtures are ACCIDENTALLY clustered: user_id is monotone
+  *           with file position (replica stride), so row-group stats
+  *           prune almost as well as a deliberate 1-D sort — this
+  *           column is the raw scan's BEST case;
+  *  - shuf:  the same rows written in hash-random order (what arbitrary
+  *           ingest order looks like) — row-group min/max spans the full
+  *           key range everywhere, so stats prune nothing; the honest
+  *           no-layout baseline;
   *  - zbox:  covering-cell boxScan (directory-level pruning on BOTH
   *           dimensions + the same residual filters).
   * Records wall time (toRdd protocol), row parity, and the I/O story:
@@ -31,14 +39,29 @@ object ProbeZOrderLadder {
       raw.withColumn("ts_sec", unix_timestamp(col("ts"))),
       path, "user_id", "ts_sec", cellBits = 6)
 
+    // hash-random row order, same 2 MB row groups as the fixture writer
+    val shufPath = s"/root/repo/target/warehouse/zladder_shuf_$label"
+    if (!new java.io.File(s"$shufPath/_SUCCESS").exists()) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      raw.orderBy(xxhash64(col("event_id")))
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
+        .parquet(shufPath)
+    }
+    val shuf = graft.sources.ParquetNanos.read(spark, shufPath)
+
     val t0 = java.time.Instant.parse("2024-01-08T00:00:00Z").getEpochSecond
     val t1 = java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond
     def boxDf = ZOrder.boxScan(spark, path, "user_id", "ts_sec",
       40L, 90L, t0, t1 - 1).select(col("event_id"))
-    def rawDf = raw.filter(col("user_id").between(40, 90) &&
-        col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
-      .select(col("event_id"))
+    def boxFilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").between(40, 90) &&
+          col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .select(col("event_id"))
+    def rawDf = boxFilter(raw)
+    def shufDf = boxFilter(shuf)
 
     def time(build: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val rows = build().queryExecution.toRdd.count()
@@ -51,7 +74,9 @@ object ProbeZOrderLadder {
     }
     val (tZ, rowsZ) = time(() => boxDf)
     val (tRaw, rowsRaw) = time(() => rawDf)
-    require(rowsZ == rowsRaw, s"parity: z=$rowsZ raw=$rowsRaw")
+    val (tShuf, rowsShuf) = time(() => shufDf)
+    require(rowsZ == rowsRaw && rowsZ == rowsShuf,
+      s"parity: z=$rowsZ raw=$rowsRaw shuf=$rowsShuf")
 
     // I/O fraction: bytes under covering cells vs whole layout
     val meta = ZOrder.readMeta(path)
@@ -70,7 +95,7 @@ object ProbeZOrderLadder {
       s""""rows":$rowsZ,"cells_read":${cells.size},"cells_total":${cellDirs.length},""" +
       s""""bytes_read":$readBytes,"bytes_total":$totalBytes,""" +
       f""""read_frac":${readBytes.toDouble / math.max(1L, totalBytes)}%.4f,""" +
-      f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f}"""
+      f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f,"sec_shuffled_raw":$tShuf%.3f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/zorder_ladder_$label.json"), json + "\n")
     println(json)

@@ -97,6 +97,23 @@ class PlanAuditSpec extends SparkSpec {
          "where":[{"col":"user_id","op":"between","val":[40,90]}]}""")
     one.queryExecution.sparkPlan // force planning
     assert(eng.lastRoute == Engine.Scanned, eng.lastRoute.toString)
+    // the route composes with aggregation (no rollup admits a ts
+    // residual, so the box scan is the winning path)
+    val agg = eng.executeJson(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}],
+         "group_by":["event_type"]}""")
+    assert(eng.lastRoute == Engine.ZRouted("z_user_ts"), eng.lastRoute.toString)
+    val aggScan = scanEngine.executeJson(
+      """{"select":["event_type",{"COUNT":"*"}],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"ts","op":"gte","val":"2024-01-08 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-13 00:00:00"}],
+         "group_by":["event_type"]}""")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      aggScan.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
   test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
