@@ -878,6 +878,20 @@ object PipelineEntries {
         .select(col("media_id"), col("n_chunks").cast(LongType).as("n_chunks"),
           size(col("kept_chunks")).cast(LongType).as("n_kept"))),
 
+    // REAL audio decode: deterministic PCM16 clips are WAV-encoded via
+    // JDK javax.sound.sampled on the executors, decoded back, reduced to
+    // integer-exact clip statistics. PCM16-in-WAV is lossless, so the
+    // oracle restates the waveform formula (Multimodal.audioN/audioSample)
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(s,
+        Multimodal.wavMediaTable(s, docs(s, dir), "doc_id"))),
+
+    // REAL audio downsample over decoded samples: decode -> every 2nd
+    // sample -> re-encode -> decode again -> statistics
+    "mm_audio_downsample" -> ((s, dir) =>
+      Multimodal.decodeAudioDownsample(s,
+        Multimodal.wavMediaTable(s, docs(s, dir), "doc_id"), factor = 2)),
+
     // per-label embedding centroid: the k-means/update-step and
     // class-prototype primitive. posexplode keeps rows O(1)-sized (no
     // vector ever shuffles whole); partial sum aggregates map-side.
@@ -2701,6 +2715,36 @@ object PipelineEntries {
            CAST(len(list_filter(generate_series(0, CAST(greatest(n_chunks - 1, 0) AS BIGINT)),
              i -> i % 4 = 0)) AS BIGINT) AS n_kept
          FROM m""",
+
+    // lossless-WAV oracle: decoded PCM16 equals the integer waveform
+    // formula; zero crossings via a lag window per clip
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 5) * 200 AS n FROM documents),
+         s AS (SELECT doc_id, n, t.t AS t,
+             ((doc_id*31 + t.t*t.t*7 + t.t*13) % 65536) - 32768 AS v
+           FROM d, UNNEST(generate_series(0, n - 1)) AS t(t)),
+         z AS (SELECT doc_id, n, v,
+             CASE WHEN t > 0 AND ((v < 0) <>
+               (lag(v) OVER (PARTITION BY doc_id ORDER BY t) < 0))
+             THEN 1 ELSE 0 END AS zc
+           FROM s)
+         SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v*v) AS BIGINT) AS sum_sq,
+           CAST(sum(zc) AS BIGINT) AS zero_cross
+         FROM z GROUP BY doc_id, n""",
+
+    // every 2nd sample: out(k) = in(2k)
+    "mm_audio_downsample" ->
+      """WITH d AS (SELECT doc_id,
+             (800 + (doc_id % 5) * 200) // 2 AS m FROM documents),
+         s AS (SELECT doc_id, m,
+             ((doc_id*31 + (2*k.k)*(2*k.k)*7 + (2*k.k)*13) % 65536) - 32768 AS v
+           FROM d, UNNEST(generate_series(0, m - 1)) AS k(k))
+         SELECT doc_id AS media_id, CAST(m AS BIGINT) AS n_out,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v*v) AS BIGINT) AS sum_sq
+         FROM s GROUP BY doc_id, m""",
 
     "ext_deterministic_split" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10",

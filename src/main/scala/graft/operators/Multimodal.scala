@@ -195,6 +195,122 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Deterministic PCM16 waveform for id — integer-only (no
+    * transcendentals, so the DuckDB oracle restates it bit-exactly):
+    *   n_samples = 800 + (id % 5) * 200          (800..1600)
+    *   s(t) = ((id*31 + t*t*7 + t*13) % 65536) - 32768
+    * Requires id >= 0. */
+  @inline def audioN(id: Long): Int = (800 + (id % 5) * 200).toInt
+  @inline def audioSample(id: Long, t: Int): Int =
+    (((id * 31 + t.toLong * t * 7 + t * 13L) % 65536L) - 32768L).toInt
+
+  private val AudioRate = 8000f
+  private def audioFormat = new javax.sound.sampled.AudioFormat(
+    AudioRate, 16, 1, true /*signed*/, false /*little-endian*/)
+
+  /** Real WAV encode of PCM16 samples via JDK `javax.sound.sampled`. */
+  private def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => pcm.putShort(s.toShort))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), audioFormat,
+      samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream(samples.length * 2 + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode back to PCM16 samples. */
+  private def decodeWav(wav: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bytes = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(bytes.length / 2)(i => bb.getShort(i * 2).toInt)
+  }
+
+  /** Media table of real WAV blobs (PCM16 mono, 8 kHz), one clip per row
+    * of `df` keyed by non-negative long `idCol`. */
+  def wavMediaTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("n_bytes", LongType),
+        StructField("n_samples", IntegerType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val wav = encodeWav(Array.tabulate(audioN(id))(audioSample(id, _)))
+        Row(id, wav, Row("audio/wav", wav.length.toLong, audioN(id)))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode + feature extraction: WAV bytes -> PCM samples ->
+    * integer-exact clip statistics (abs-sum, energy, zero crossings —
+    * the standard VAD/loudness primitives). PCM16-in-WAV is lossless, so
+    * the oracle restates the waveform formula relationally. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("sum_sq", LongType),
+      StructField("zero_cross", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val s = decodeWav(r.getAs[Array[Byte]](1))
+        var (sa, sq, zc) = (0L, 0L, 0L)
+        var i = 0
+        while (i < s.length) {
+          sa += math.abs(s(i)); sq += s(i).toLong * s(i)
+          if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+          i += 1
+        }
+        Row(id, s.length.toLong, sa, sq, zc)
+      }
+    }(enc)
+  }
+
+  /** REAL audio downsample: decode, keep every `factor`-th sample
+    * (out(k) = in(factor*k) — exactly restatable), RE-encode to WAV and
+    * decode AGAIN before computing output statistics, so emitted values
+    * survived two codec round trips (same discipline as [[decodeResize]]). */
+  def decodeAudioDownsample(spark: SparkSession, media: DataFrame,
+                            factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_out", LongType),
+      StructField("sum_abs", LongType),
+      StructField("sum_sq", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val s = decodeWav(r.getAs[Array[Byte]](1))
+        val nOut = math.max(1, s.length / factor)
+        val back = decodeWav(encodeWav(Array.tabulate(nOut)(k => s(k * factor))))
+        var (sa, sq) = (0L, 0L)
+        var i = 0
+        while (i < back.length) {
+          sa += math.abs(back(i)); sq += back(i).toLong * back(i); i += 1
+        }
+        Row(id, back.length.toLong, sa, sq)
+      }
+    }(enc)
+  }
+
   /** Partition sizing for blob tables: compute total payload bytes (one
     * aggregate pass) and repartition so each partition holds roughly
     * `targetPartitionBytes` — the knob that keeps a media partition

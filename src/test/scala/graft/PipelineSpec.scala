@@ -409,6 +409,46 @@ class PipelineSpec extends SparkSpec {
     assert(repart.rdd.getNumPartitions >= 2) // ~10KB of text over 2KB targets
   }
 
+  test("multimodal audio: WAV roundtrip recovers exact PCM; downsample survives re-encode") {
+    val media = Multimodal.wavMediaTable(spark, docs.limit(10), "doc_id")
+    // blobs are real RIFF/WAVE containers
+    media.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("blob")
+      assert(new String(b.take(4), "US-ASCII") == "RIFF" &&
+        new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.getStruct(2).getString(0) == "audio/wav")
+    }
+    val feats = Multimodal.decodeAudioFeatures(spark, media).collect()
+    assert(feats.length == 10)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.audioN(id)
+      var (sa, sq, zc) = (0L, 0L, 0L)
+      var prev = 0
+      for (t <- 0 until n) {
+        val v = Multimodal.audioSample(id, t)
+        sa += math.abs(v); sq += v.toLong * v
+        if (t > 0 && (v < 0) != (prev < 0)) zc += 1
+        prev = v
+      }
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == sa &&
+        r.getLong(3) == sq && r.getLong(4) == zc,
+        s"decoded audio stats diverge for doc $id")
+    }
+    val down = Multimodal.decodeAudioDownsample(spark, media, factor = 2).collect()
+    down.foreach { r =>
+      val id = r.getLong(0)
+      val m = Multimodal.audioN(id) / 2
+      var (sa, sq) = (0L, 0L)
+      for (k <- 0 until m) {
+        val v = Multimodal.audioSample(id, 2 * k)
+        sa += math.abs(v); sq += v.toLong * v
+      }
+      assert(r.getLong(1) == m.toLong && r.getLong(2) == sa && r.getLong(3) == sq,
+        s"downsampled audio stats diverge for doc $id")
+    }
+  }
+
   test("streaming sessionizer equals batch sessionization") {
     val ev = graft.schema.DirCatalog(sfDir).table(spark, "events")
       .select(col("user_id"), col("ts"))
