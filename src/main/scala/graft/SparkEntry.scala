@@ -397,6 +397,15 @@ object SparkEntry {
          "group_by":["event_type"]}""",
       "count(*)" -> "cnt", "sum(value)" -> "sum_value"),
 
+    // derived-day predicates route too: day bounds map to whole-day
+    // second ranges (superset), the exact day predicates re-apply on the
+    // pruned scan — the DSL's most common time filter shape gets 2-D
+    // pruning without mentioning ts
+    "route_zorder_box_day" -> dslPrepared(
+      """{"select":["event_id","user_id","value"],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[40,90]},
+                  {"col":"day","op":"between","val":["2024-01-08","2024-01-12"]}]}"""),
+
     "route_user_type" -> dslPrepared(
       """{"select":["user_id",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
          "group_by":["user_id"]}""",
@@ -1233,6 +1242,10 @@ object SparkEntry {
        "FROM events WHERE user_id BETWEEN 40 AND 90 " +
        "AND ts >= TIMESTAMP '2024-01-08 00:00:00' " +
        "AND ts < TIMESTAMP '2024-01-13 00:00:00' GROUP BY event_type"),
+    "route_zorder_box_day" ->
+      ("SELECT event_id, user_id, round(value,4) AS value FROM events " +
+       "WHERE user_id BETWEEN 40 AND 90 " +
+       "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'"),
     "route_minute_rollup" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1",
     "scan_partition_pruned" ->

@@ -118,16 +118,67 @@ object ZOrderRouter {
     for (l <- lo; h <- hi if l <= h) yield (l, h)
   }
 
+  /** Conditions on the derived `day` column (day = to_date(ts) in this
+    * UTC session) restated as SUPERSET conditions on the timestamp:
+    * a day literal covers the whole-day second range [d 00:00,
+    * d+1 00:00), so each bound maps to the loose end of that range —
+    * Eq d -> Between [d, d+1); Lt/Lte d -> Lte end-of-d (Lt loosened to
+    * Lte, still a superset); Gt/Gte d -> Gte start-of-d. The exact day
+    * predicates re-apply post-scan as always. */
+  private def dayAsTsConds(conds: Seq[Cond], dayCol: String): Seq[Cond] = {
+    def dayStart(l: Lit): Option[Long] = l match {
+      case SLit(v) if v.trim.length == 10 =>
+        try Some(java.time.LocalDate.parse(v.trim)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+    def nextDayLastSec(l: Lit): Option[Lit] =
+      dayStart(l).map(s => ILit(s + 86400L - 1L))
+    def startLit(l: Lit): Option[Lit] = dayStart(l).map(ILit(_))
+    conds.filter(_.col.equalsIgnoreCase(dayCol)).flatMap { c =>
+      c.op match {
+        case Eq =>
+          for (a <- startLit(c.values.head); b <- nextDayLastSec(c.values.head))
+            yield Cond("__day_ts", Between, Seq(a, b))
+        case Between =>
+          for (a <- startLit(c.values.head); b <- nextDayLastSec(c.values(1)))
+            yield Cond("__day_ts", Between, Seq(a, b))
+        case In =>
+          val starts = c.values.flatMap(startLit)
+          val ends = c.values.flatMap(nextDayLastSec)
+          if (starts.size == c.values.size && starts.nonEmpty)
+            Some(Cond("__day_ts", Between,
+              Seq(starts.minBy { case ILit(v) => v; case _ => Long.MaxValue },
+                ends.maxBy { case ILit(v) => v; case _ => Long.MinValue })))
+          else None
+        case Gte | Gt => startLit(c.values.head).map(a =>
+          Cond("__day_ts", Gte, Seq(a)))
+        case Lte | Lt => nextDayLastSec(c.values.head).map(b =>
+          Cond("__day_ts", Lte, Seq(b)))
+        case Neq => None
+      }
+    }
+  }
+
   /** Can `q` route to layout `d`? Returns the superset box if both
-    * dimensions are bounded by the query's conjunction. */
+    * dimensions are bounded by the query's conjunction — the time
+    * dimension by `tsCol` conditions, derived-`day` conditions, or a mix
+    * (all tighten the same interval; each mapping is a superset). */
   def matches(q: Query, d: ZLayoutDef): Option[Box] = {
     if (!q.from.equalsIgnoreCase(d.sourceTable)) return None
     if (!d.exists) return None
     val conds = q.where.collect { case c: Cond => c }
     if (conds.size != q.where.size) return None // flat conjunction only
+    val tsConds = conds.filter(_.col.equalsIgnoreCase(d.tsCol)) ++
+      dayAsTsConds(conds, "day").map(_.copy(col = d.tsCol))
+    def epochOrPassthrough(l: Lit): Option[Long] = l match {
+      case ILit(v) => Some(v) // already epoch seconds (the day mapping)
+      case other => asEpochSec(other)
+    }
     for {
       x <- interval(conds, d.xCol, asLong)
-      y <- interval(conds, d.tsCol, asEpochSec)
+      y <- interval(tsConds, d.tsCol, epochOrPassthrough)
     } yield Box(x._1, x._2, y._1, y._2)
   }
 

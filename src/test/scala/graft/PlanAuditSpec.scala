@@ -114,6 +114,15 @@ class PlanAuditSpec extends SparkSpec {
          "group_by":["event_type"]}""")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       aggScan.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // derived-day bounds route too (whole-day superset mapping)
+    val dayJson =
+      """{"select":["event_id"],"from":"events",
+         "where":[{"col":"user_id","op":"eq","val":55},
+                  {"col":"day","op":"between","val":["2024-01-08","2024-01-12"]}]}"""
+    val dayDf = eng.executeJson(dayJson)
+    assert(eng.lastRoute == Engine.ZRouted("z_user_ts"), eng.lastRoute.toString)
+    assert(dayDf.collect().map(_.getLong(0)).toSet ===
+      scanEngine.executeJson(dayJson).collect().map(_.getLong(0)).toSet)
   }
 
   test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
