@@ -449,6 +449,77 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert: checkpoint resume across a stop is exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    val base = "/root/repo/target/tmp/upsert_restart"
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    rmRec(new java.io.File(base))
+    val inDir = s"$base/in"; val snap = s"$base/snapshot"
+    val ckpt = s"$base/_checkpoint"
+    val ev = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+    // half the events now, the other half appears after the "crash"
+    def slice(even: Boolean): DataFrame =
+      ev.filter(pmod(col("event_id"), lit(2)) === (if (even) 0 else 1))
+    new java.io.File(inDir).mkdirs()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    slice(even = true).coalesce(2).write.mode("append").parquet(inDir)
+
+    val schema = ev.schema
+    val ordered = Seq(col("ts"), col("event_id"))
+    val pay = Seq("ts", "event_id", "event_type", "value")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val delta = graft.operators.Cdc.latestPerKeyAgg(
+            batch, Seq("user_id"), ordered, pay)
+          val merged =
+            if (new java.io.File(snap).exists())
+              graft.operators.Cdc.latestPerKeyAgg(
+                sp.read.parquet(snap).unionByName(delta),
+                Seq("user_id"), ordered, pay)
+            else delta
+          merged.localCheckpoint(true)
+            .write.mode("overwrite").parquet(snap)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // first run: first half, multiple micro-batches, then stops
+
+    // "crash recovery": the rest of the input lands, a NEW query resumes
+    // from the same checkpoint — it must process ONLY the new files
+    slice(even = false).coalesce(2).write.mode("append").parquet(inDir)
+    runOnce()
+    def snapRows: Set[(Long, Long, String)] =
+      spark.read.parquet(snap)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val afterResume = snapRows
+
+    // exactly-once: final snapshot == the one-shot batch upsert over ALL
+    // events (no row lost across the stop, none double-applied)
+    val batch = graft.operators.Cdc.latestPerKeyAgg(
+        ev, Seq("user_id"), ordered, pay)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(afterResume === batch)
+
+    // idempotence: a third run with no new input is a no-op
+    runOnce()
+    assert(snapRows === batch)
+  }
+
   test("streaming sessionizer equals batch sessionization") {
     val ev = graft.schema.DirCatalog(sfDir).table(spark, "events")
       .select(col("user_id"), col("ts"))
