@@ -892,6 +892,29 @@ object PipelineEntries {
       Multimodal.decodeAudioDownsample(s,
         Multimodal.wavMediaTable(s, docs(s, dir), "doc_id"), factor = 2)),
 
+    // REAL video frame sampling + decode: per-doc deterministic clips are
+    // containers of ImageIO-encoded PNG frames (MJPEG-style length-
+    // prefixed framing — the JDK ships no AVI/MP4 parser); every 2nd
+    // frame is ImageIO-decoded and reduced to per-channel pixel sums.
+    // Skipped frames are never decoded — the sampling economics that
+    // matter at 100 TB. Lossless PNG => the oracle restates the frame
+    // formula (Multimodal.vidFrames/vpxR contract) relationally.
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.decodeVideoFrames(s,
+          Multimodal.videoMediaTable(s, docs(s, dir), "doc_id"), stride = 2)
+        .select(col("media_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
+
+    // REAL temporal feature over decoded frames: abs per-pixel diff
+    // between consecutive decoded frames per channel (motion /
+    // scene-change primitive), all frames decoded through the codec
+    "mm_video_motion" -> ((s, dir) =>
+      Multimodal.decodeVideoMotion(s,
+        Multimodal.videoMediaTable(s, docs(s, dir), "doc_id"))),
+
     // per-label embedding centroid: the k-means/update-step and
     // class-prototype primitive. posexplode keeps rows O(1)-sized (no
     // vector ever shuffles whole); partial sum aggregates map-side.
@@ -2745,6 +2768,45 @@ object PipelineEntries {
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
            CAST(sum(v*v) AS BIGINT) AS sum_sq
          FROM s GROUP BY doc_id, m""",
+
+    // every 2nd frame of the deterministic clip (f % 2 = 0), per-frame
+    // channel sums from the frame formula — decoded PNG pixels equal it
+    // because PNG is lossless
+    "mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 6 + doc_id % 3 AS w,
+             6 + (doc_id * 5) % 3 AS h FROM documents),
+         fr AS (SELECT doc_id, w, h, tf.f AS f
+           FROM d, UNNEST(generate_series(0, nf - 1)) AS tf(f)
+           WHERE tf.f % 2 = 0),
+         px AS (SELECT doc_id, w, h, f, tx.x AS x, ty.y AS y
+           FROM fr,
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y))
+         SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id*31 + f*19 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*17 + f*23 + x*3 + y*5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id*13 + f*29 + x*11 + y*3) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, f, w, h""",
+
+    // consecutive-frame abs pixel diffs: |px(f) - px(f-1)| summed per
+    // channel over f in 1..nf-1 and all pixels
+    "mm_video_motion" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 6 + doc_id % 3 AS w,
+             6 + (doc_id * 5) % 3 AS h FROM documents),
+         px AS (SELECT doc_id, nf, tf.f AS f, tx.x AS x, ty.y AS y
+           FROM d,
+             UNNEST(generate_series(1, nf - 1)) AS tf(f),
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y))
+         SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(sum(abs((doc_id*31 + f*19 + x*7 + y*13) % 256
+             - (doc_id*31 + (f-1)*19 + x*7 + y*13) % 256)) AS BIGINT) AS motion_r,
+           CAST(sum(abs((doc_id*17 + f*23 + x*3 + y*5) % 256
+             - (doc_id*17 + (f-1)*23 + x*3 + y*5) % 256)) AS BIGINT) AS motion_g,
+           CAST(sum(abs((doc_id*13 + f*29 + x*11 + y*3) % 256
+             - (doc_id*13 + (f-1)*29 + x*11 + y*3) % 256)) AS BIGINT) AS motion_b
+         FROM px GROUP BY doc_id, nf""",
 
     "ext_deterministic_split" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10",

@@ -21,6 +21,20 @@ object Verify {
     // the ~150 entries the bench headline never touches — diffed
     // round-over-round in the PLANS ledger (round-14 advice #2).
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // UNTIMED warm-up: parquet reader/writer, shuffle+join machinery and
+    // first-use codegen-compiler classloading otherwise land on whichever
+    // entry happens to run first (tpch_q3 in a fresh JVM: first run 3.0 s
+    // vs 0.8 s warm at sf0.01 — measured via ProbePlan), skewing the
+    // round-over-round verify_times diff. One small scan+join+agg+sort+
+    // write over the KB-sized dims pays those costs before the clock
+    // starts; per-entry plan compilation stays attributed to its entry.
+    locally {
+      val nation = graft.sources.ParquetNanos.read(spark, s"$sfDir/nation.parquet")
+      val region = graft.sources.ParquetNanos.read(spark, s"$sfDir/region.parquet")
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name").count().orderBy("r_name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_warmup")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!skip(name)) {
         val t0 = System.nanoTime()
@@ -61,6 +75,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(): Unit
+    }
+    rmAll(new java.io.File(s"$outDir/_warmup"))
     spark.stop()
   }
 }

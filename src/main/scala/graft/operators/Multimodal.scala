@@ -61,24 +61,9 @@ object Multimodal {
 
   /** Executor-side PNG encode of the deterministic raster for `id` —
     * a real `javax.imageio` compress, not a fake payload. */
-  private def encodePng(id: Long): Array[Byte] = {
-    val (w, h) = (imgW(id), imgH(id))
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y,
-          (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream(1024)
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  private def encodePng(id: Long): Array[Byte] =
+    pngOf(imgW(id), imgH(id), (x, y) =>
+      (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
 
   /** Media table of real PNG blobs, one image per row of `df` keyed by a
     * non-negative long `idCol`. Encoding runs distributed in
@@ -307,6 +292,183 @@ object Multimodal {
           sa += math.abs(back(i)); sq += back(i).toLong * back(i); i += 1
         }
         Row(id, back.length.toLong, sa, sq)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Deterministic video clip for id — the shared contract between the
+    * executor-side fixture and the DuckDB oracle restatement (integer
+    * arithmetic only, SQL-expressible). Frame dims are constant per clip;
+    * the pixel formula varies by frame index `f`:
+    *   n_frames = 3 + id % 4                (3..6)
+    *   w = 6 + id % 3, h = 6 + (id * 5) % 3 (6..8 per side)
+    *   r(f,x,y) = (id*31 + f*19 + x*7  + y*13) % 256
+    *   g(f,x,y) = (id*17 + f*23 + x*3  + y*5 ) % 256
+    *   b(f,x,y) = (id*13 + f*29 + x*11 + y*3 ) % 256
+    * Requires id >= 0 (doc ids are). */
+  @inline def vidFrames(id: Long): Int = (3 + id % 4).toInt
+  @inline def vidW(id: Long): Int = (6 + id % 3).toInt
+  @inline def vidH(id: Long): Int = (6 + (id * 5) % 3).toInt
+  @inline def vpxR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+  @inline def vpxG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 23 + x * 3 + y * 5) % 256).toInt
+  @inline def vpxB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 13 + f * 29 + x * 11 + y * 3) % 256).toInt
+
+  /** PNG-encode one raster given per-pixel packed RGB. */
+  private def pngOf(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** MJPEG-style container framing: the JDK ships no video container
+    * parser (AVI/MP4), so clips use a minimal length-prefixed framing —
+    * 4-byte big-endian frame count, then per frame a 4-byte big-endian
+    * length followed by real PNG bytes. The per-frame codec work (PNG
+    * encode/decode via `javax.imageio`) is real; only the container is
+    * this custom framing, exactly the seat an AVI/MJPEG parser takes. */
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val (nf, w, h) = (vidFrames(id), vidW(id), vidH(id))
+    val frames = Array.tabulate(nf) { f =>
+      pngOf(w, h, (x, y) =>
+        (vpxR(id, f, x, y) << 16) | (vpxG(id, f, x, y) << 8) | vpxB(id, f, x, y))
+    }
+    val bb = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+    bb.putInt(nf)
+    frames.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  /** Parse the container into per-frame PNG byte slices. */
+  private def videoFrameBytes(blob: Array[Byte]): Array[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    Array.fill(bb.getInt()) {
+      val len = bb.getInt()
+      val p = new Array[Byte](len); bb.get(p); p
+    }
+  }
+
+  /** Media table of MJPEG-style clips of real PNG frames, one clip per
+    * row of `df` keyed by non-negative long `idCol`. Encoding runs
+    * distributed; a clip is a few KB of PNG bytes. */
+  def videoMediaTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("n_bytes", LongType),
+        StructField("n_frames", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val clip = encodeVideo(id)
+        Row(id, clip,
+          Row("video/x-mjpeg-png", clip.length.toLong, vidFrames(id), vidW(id), vidH(id)))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling + decode + feature extraction: parse the
+    * container, ImageIO-decode every `stride`-th frame, reduce each to
+    * per-channel pixel sums — the canonical video-pipeline primitive
+    * (sample 1-in-k frames, featurize each). One output row per KEPT
+    * frame; skipped frames are never decoded, which is the point of
+    * sampling at 100 TB (decode cost scales with kept frames, I/O with
+    * clip bytes). */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+                        stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = videoFrameBytes(r.getAs[Array[Byte]](1))
+        Iterator.range(0, frames.length).filter(_ % stride == 0).map { f =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(f)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, f, w, h, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL temporal feature: decode ALL frames of each clip and sum the
+    * absolute per-pixel differences between consecutive DECODED frames
+    * per channel — the motion/scene-change primitive. Integer-exact over
+    * lossless PNG frames, so the oracle restates it from the formula. */
+  def decodeVideoMotion(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("motion_r", LongType),
+      StructField("motion_g", LongType),
+      StructField("motion_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = videoFrameBytes(r.getAs[Array[Byte]](1)).map { p =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        }
+        var (mr, mg, mb) = (0L, 0L, 0L)
+        var f = 1
+        while (f < frames.length) {
+          val (prev, cur) = (frames(f - 1), frames(f))
+          val (w, h) = (cur.getWidth, cur.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
+              mr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
+              mg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
+              mb += math.abs((a & 0xFF) - (b & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        Row(id, frames.length.toLong, mr, mg, mb)
       }
     }(enc)
   }

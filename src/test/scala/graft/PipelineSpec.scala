@@ -449,6 +449,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal video: per-frame decode matches formula; stride samples; motion exact") {
+    val media = Multimodal.videoMediaTable(spark, docs.limit(10), "doc_id")
+    // container framing: frame count + per-frame PNG magic
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("blob"))
+      val nf = bb.getInt()
+      assert(nf == Multimodal.vidFrames(id))
+      for (_ <- 0 until nf) {
+        val len = bb.getInt()
+        val p = new Array[Byte](len); bb.get(p)
+        assert((p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte)
+      }
+      assert(!bb.hasRemaining) // framing is exact, no trailing bytes
+      assert(r.getStruct(2).getString(0) == "video/x-mjpeg-png")
+    }
+    // stride=1: every frame decoded, sums equal the formula
+    val ids = media.select(col("media_id")).collect().map(_.getLong(0))
+    val all = Multimodal.decodeVideoFrames(spark, media, stride = 1).collect()
+    assert(all.length == ids.map(Multimodal.vidFrames(_)).sum)
+    all.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      val (w, h) = (Multimodal.vidW(id), Multimodal.vidH(id))
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += Multimodal.vpxR(id, f, x, y)
+        eg += Multimodal.vpxG(id, f, x, y)
+        eb += Multimodal.vpxB(id, f, x, y)
+      }
+      assert(r.getLong(4) == er && r.getLong(5) == eg && r.getLong(6) == eb,
+        s"decoded frame sums diverge for doc $id frame $f")
+    }
+    // stride=2: exactly the even frames survive
+    val sampled = Multimodal.decodeVideoFrames(spark, media, stride = 2).collect()
+    assert(sampled.forall(_.getInt(1) % 2 == 0))
+    assert(sampled.length ==
+      ids.map(id => (Multimodal.vidFrames(id) + 1) / 2).sum)
+    // motion: abs consecutive-frame pixel diffs from the formula
+    val motion = Multimodal.decodeVideoMotion(spark, media).collect()
+    motion.foreach { r =>
+      val id = r.getLong(0)
+      val (nf, w, h) = (Multimodal.vidFrames(id), Multimodal.vidW(id), Multimodal.vidH(id))
+      assert(r.getLong(1) == nf.toLong)
+      var (mr, mg, mb) = (0L, 0L, 0L)
+      for (f <- 1 until nf; y <- 0 until h; x <- 0 until w) {
+        mr += math.abs(Multimodal.vpxR(id, f, x, y) - Multimodal.vpxR(id, f - 1, x, y))
+        mg += math.abs(Multimodal.vpxG(id, f, x, y) - Multimodal.vpxG(id, f - 1, x, y))
+        mb += math.abs(Multimodal.vpxB(id, f, x, y) - Multimodal.vpxB(id, f - 1, x, y))
+      }
+      assert(r.getLong(2) == mr && r.getLong(3) == mg && r.getLong(4) == mb,
+        s"motion stats diverge for doc $id")
+    }
+  }
+
   test("streaming upsert: checkpoint resume across a stop is exactly-once") {
     import org.apache.spark.sql.DataFrame
     val base = "/root/repo/target/tmp/upsert_restart"

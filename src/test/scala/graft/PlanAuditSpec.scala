@@ -206,13 +206,18 @@ class PlanAuditSpec extends SparkSpec {
     routed.foreach { q =>
       assert(routeOf(q).contains("Routed"), s"expected Routed for $q")
     }
-    // golden_q2's day-between filter is not on the user rollup's keys
-    val scanned = """{"select":["user_id",{"SUM":"value"}],"from":"events",
+    // golden_q2's day-between filter is not on the user rollup's keys, so
+    // it must NEVER hit a rollup; since the derived-day z routing
+    // (ZOrderRouter.dayAsTsConds) its user-band x day-band shape rides
+    // the z-order layout instead of a raw scan — strictly less I/O, with
+    // scan parity pinned by the "z-order ROUTED" audits above
+    val banded = """{"select":["user_id",{"SUM":"value"}],"from":"events",
        "where":[{"col":"event_type","op":"eq","val":"view"},
                 {"col":"user_id","op":"between","val":[100,300]},
                 {"col":"day","op":"between","val":["2024-01-10","2024-01-13"]}],
        "group_by":["user_id"]}"""
-    assert(routeOf(scanned) == "Scanned", s"expected Scanned, got ${routeOf(scanned)}")
+    assert(routeOf(banded) == "ZRouted(z_user_ts)",
+      s"expected ZRouted(z_user_ts), got ${routeOf(banded)}")
 
     // the alternate corpus (custom_queries_example.json:1-30, schema-
     // mapped): alt1 = golden_q1 + ORDER BY on the measure (still the
