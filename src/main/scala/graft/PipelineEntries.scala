@@ -915,6 +915,43 @@ object PipelineEntries {
       Multimodal.decodeVideoMotion(s,
         Multimodal.videoMediaTable(s, docs(s, dir), "doc_id"))),
 
+    // decode-IN-FLIGHT: clips arrive as a file stream (4 staged files,
+    // maxFilesPerTrigger=1 -> 4 real micro-batches), every frame is
+    // ImageIO-decoded inside its micro-batch via the SAME mapPartitions
+    // operator the batch path uses, and the append-mode memory sink
+    // accumulates per-frame features — the streaming-ingest shape of a
+    // media pipeline (decode as data lands, not as a nightly batch).
+    // Must equal the batch decode over all clips (the oracle restates
+    // the frame formula, stride 1).
+    "stream_media_decode" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("media_id", LongType), StructField("blob", BinaryType)))
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(mediaStreamDir(s, dir))
+      val name = "smd_" + java.lang.Integer.toHexString(dir.hashCode)
+      StreamOps.runToMemory(s,
+        Multimodal.decodeVideoFrames(s, src, stride = 1)
+          .select(col("media_id"),
+            col("frame_idx").cast(LongType).as("frame_idx"),
+            col("width").cast(LongType).as("width"),
+            col("height").cast(LongType).as("height"),
+            col("sum_r"), col("sum_g"), col("sum_b")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // keyframe extraction: decode -> per-consecutive-pair diff rows ->
+    // relational threshold filter (total diff > 128 * pixels, ~the mean
+    // per-pixel step of the fixture's motion) — the scene-change cut a
+    // video curation pipeline makes before featurizing only keyframes
+    "mm_video_keyframes" -> ((s, dir) =>
+      Multimodal.decodeVideoFrameDiffs(s,
+          Multimodal.videoMediaTable(s, docs(s, dir), "doc_id"))
+        .filter(col("diff_r") + col("diff_g") + col("diff_b") >
+          lit(128L) * col("width") * col("height"))
+        .select(col("media_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          (col("diff_r") + col("diff_g") + col("diff_b")).as("diff_total"))),
+
     // per-label embedding centroid: the k-means/update-step and
     // class-prototype primitive. posexplode keeps rows O(1)-sized (no
     // vector ever shuffles whole); partial sum aggregates map-side.
@@ -947,6 +984,24 @@ object PipelineEntries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+
+    // deterministic global training-order shuffle, the SCALE shape: a
+    // global ORDER BY hash would funnel every row through one reducer
+    // (row_number over an empty partition spec — the one-reducer trap
+    // the packing audit pins against). Instead shard = hash % 32
+    // co-partitions the permutation and pos = row_number within shard
+    // ordered by (hash, doc_id): each shard sorts in parallel, and a
+    // reader consuming shards round-robin replays the same
+    // pseudo-random order on any engine, any run — reproducible
+    // epoch shuffles without rand()
+    "ext_shuffle_order" -> ((s, dir) => {
+      val h = Dedup.portableHash56(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), pmod(h, lit(32)).as("shard"), h.as("h"))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("h"), col("doc_id"))).cast(LongType).as("pos"))
+    }),
 
     // deterministic train/eval split: reproducible 10% sample by id
     // modulus — the split a training pipeline can re-derive at any time
@@ -1242,6 +1297,23 @@ object PipelineEntries {
     * whose merge logic only shows up across batches (stream_upsert).
     * The staged files are micros timestamps (ParquetNanos already
     * converted), so the stream schema is plain TimestampType. */
+  /** Stage the deterministic clip table as 4 range-partitioned parquet
+    * files for the media file-stream source (path carries
+    * ArtifactVersion: the clip bytes are BUILT from the video fixture
+    * formula, so an unbumped formula edit must not silently reuse stale
+    * blobs the way a verbatim events copy safely can). */
+  private def mediaStreamDir(s: SparkSession, dir: String): String = {
+    val name0 = new java.io.File(dir).getName
+    val d = s"/root/repo/target/tmp/media_stream_v${ArtifactVersion}_$name0"
+    if (!new java.io.File(s"$d/_SUCCESS").exists()) {
+      Multimodal.videoMediaTable(s, docs(s, dir), "doc_id")
+        .select(col("media_id"), col("blob"))
+        .repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(d)
+    }
+    d
+  }
+
   private def eventsStream4(s: SparkSession, dir: String): (String, DataFrame) = {
     val name0 = new java.io.File(dir).getName
     val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream4_$name0")
@@ -2807,6 +2879,55 @@ object PipelineEntries {
            CAST(sum(abs((doc_id*13 + f*29 + x*11 + y*3) % 256
              - (doc_id*13 + (f-1)*29 + x*11 + y*3) % 256)) AS BIGINT) AS motion_b
          FROM px GROUP BY doc_id, nf""",
+
+    // streamed decode == batch decode: all frames, stride 1
+    "stream_media_decode" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 6 + doc_id % 3 AS w,
+             6 + (doc_id * 5) % 3 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, tf.f AS f, tx.x AS x, ty.y AS y
+           FROM d,
+             UNNEST(generate_series(0, nf - 1)) AS tf(f),
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y))
+         SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id*31 + f*19 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*17 + f*23 + x*3 + y*5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id*13 + f*29 + x*11 + y*3) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, f, w, h""",
+
+    // per-pair abs channel diffs from the formula, thresholded at
+    // 128 * pixels (same expression order as the entry)
+    "mm_video_keyframes" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 6 + doc_id % 3 AS w,
+             6 + (doc_id * 5) % 3 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, tf.f AS f, tx.x AS x, ty.y AS y
+           FROM d,
+             UNNEST(generate_series(1, nf - 1)) AS tf(f),
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y)),
+         agg AS (SELECT doc_id, f, w, h,
+             sum(abs((doc_id*31 + f*19 + x*7 + y*13) % 256
+                   - (doc_id*31 + (f-1)*19 + x*7 + y*13) % 256)
+               + abs((doc_id*17 + f*23 + x*3 + y*5) % 256
+                   - (doc_id*17 + (f-1)*23 + x*3 + y*5) % 256)
+               + abs((doc_id*13 + f*29 + x*11 + y*3) % 256
+                   - (doc_id*13 + (f-1)*29 + x*11 + y*3) % 256)) AS dt
+           FROM px GROUP BY doc_id, f, w, h)
+         SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(dt AS BIGINT) AS diff_total
+         FROM agg WHERE dt > 128 * w * h""",
+
+    // same portable md5-56 hash the Spark side computes; pos restarts
+    // per shard so no global sort exists on either engine
+    "ext_shuffle_order" ->
+      """WITH t AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+           FROM documents)
+         SELECT doc_id, h % 32 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id)
+             AS BIGINT) AS pos
+         FROM t""",
 
     "ext_deterministic_split" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10",

@@ -473,6 +473,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL per-pair temporal diffs: decode ALL frames and emit one row per
+    * consecutive frame pair — (media_id, frame_idx of the LATER frame,
+    * frame dims, per-channel abs pixel-diff sums). The keyframe /
+    * scene-change primitive: a downstream relational filter on the diff
+    * magnitude picks the frames where content moved, without any
+    * driver-side logic. Integer-exact over lossless PNG frames. */
+  def decodeVideoFrameDiffs(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("diff_r", LongType),
+      StructField("diff_g", LongType),
+      StructField("diff_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = videoFrameBytes(r.getAs[Array[Byte]](1)).map { p =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        }
+        Iterator.range(1, frames.length).map { f =>
+          val (prev, cur) = (frames(f - 1), frames(f))
+          val (w, h) = (cur.getWidth, cur.getHeight)
+          var (dr, dg, db) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
+              dr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
+              dg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
+              db += math.abs((a & 0xFF) - (b & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, f, w, h, dr, dg, db)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition sizing for blob tables: compute total payload bytes (one
     * aggregate pass) and repartition so each partition holds roughly
     * `targetPartitionBytes` — the knob that keeps a media partition

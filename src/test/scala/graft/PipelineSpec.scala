@@ -502,6 +502,21 @@ class PipelineSpec extends SparkSpec {
       assert(r.getLong(2) == mr && r.getLong(3) == mg && r.getLong(4) == mb,
         s"motion stats diverge for doc $id")
     }
+    // per-pair diffs: one row per consecutive pair, values from the formula
+    val diffs = Multimodal.decodeVideoFrameDiffs(spark, media).collect()
+    assert(diffs.length == ids.map(id => Multimodal.vidFrames(id) - 1).sum)
+    diffs.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      val (w, h) = (Multimodal.vidW(id), Multimodal.vidH(id))
+      var (dr, dg, db) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        dr += math.abs(Multimodal.vpxR(id, f, x, y) - Multimodal.vpxR(id, f - 1, x, y))
+        dg += math.abs(Multimodal.vpxG(id, f, x, y) - Multimodal.vpxG(id, f - 1, x, y))
+        db += math.abs(Multimodal.vpxB(id, f, x, y) - Multimodal.vpxB(id, f - 1, x, y))
+      }
+      assert(r.getLong(4) == dr && r.getLong(5) == dg && r.getLong(6) == db,
+        s"pair diffs diverge for doc $id frame $f")
+    }
   }
 
   test("streaming upsert: checkpoint resume across a stop is exactly-once") {

@@ -449,7 +449,11 @@ class PlanAuditSpec extends SparkSpec {
     // lang alone (lang cardinality is tiny — and the flagship filters to
     // ONE language, which would funnel the kept corpus through a single
     // reducer at 100 TB)
-    for (name <- Seq("ext_pack_sequences", "pipeline_curate_pack")) {
+    // ext_shuffle_order's whole reason to exist is the same contract:
+    // the reproducible permutation must be a SHARDED row_number, never
+    // a global ORDER BY funneling every row through one reducer
+    for (name <- Seq("ext_pack_sequences", "pipeline_curate_pack",
+                     "ext_shuffle_order")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val plan = finalPlan(df)
