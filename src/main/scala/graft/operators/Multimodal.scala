@@ -35,7 +35,9 @@ object Multimodal {
     *   r(x,y) = (id*31 + x*7  + y*13) % 256
     *   g(x,y) = (id*17 + x*3  + y*5 ) % 256
     *   b(x,y) = (id*13 + x*11 + y*3 ) % 256
-    * Requires id >= 0 (doc ids are). */
+    * Requires 0 <= id < 2^57 (doc ids are): the largest multiplier is
+    * 31, and id*31 must not overflow Long or the executor formula and
+    * any non-overflowing oracle restatement diverge. */
   @inline def imgW(id: Long): Int = (8 + id % 9).toInt
   @inline def imgH(id: Long): Int = (8 + (id * 7) % 9).toInt
   @inline def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
@@ -186,7 +188,7 @@ object Multimodal {
     * transcendentals, so the DuckDB oracle restates it bit-exactly):
     *   n_samples = 800 + (id % 5) * 200          (800..1600)
     *   s(t) = ((id*31 + t*t*7 + t*13) % 65536) - 32768
-    * Requires id >= 0. */
+    * Requires 0 <= id < 2^57 (see the image contract's overflow note). */
   @inline def audioN(id: Long): Int = (800 + (id % 5) * 200).toInt
   @inline def audioSample(id: Long, t: Int): Int =
     (((id * 31 + t.toLong * t * 7 + t * 13L) % 65536L) - 32768L).toInt
@@ -307,7 +309,7 @@ object Multimodal {
     *   r(f,x,y) = (id*31 + f*19 + x*7  + y*13) % 256
     *   g(f,x,y) = (id*17 + f*23 + x*3  + y*5 ) % 256
     *   b(f,x,y) = (id*13 + f*29 + x*11 + y*3 ) % 256
-    * Requires id >= 0 (doc ids are). */
+    * Requires 0 <= id < 2^57 (see the image contract's overflow note). */
   @inline def vidFrames(id: Long): Int = (3 + id % 4).toInt
   @inline def vidW(id: Long): Int = (6 + id % 3).toInt
   @inline def vidH(id: Long): Int = (6 + (id * 5) % 3).toInt

@@ -82,4 +82,31 @@ class CurationInvariantSpec extends SparkSpec {
         s"dropped doc ${r.getLong(0)} not longer than kept max")
     }
   }
+
+  test("shuffle order is a deterministic permutation: every doc once, contiguous per-shard positions") {
+    val a = SparkEntry.queries("ext_shuffle_order")(spark, sfDir).collect()
+    val docs = graft.sources.ParquetNanos
+      .read(spark, s"$sfDir/documents.parquet").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // a permutation: every doc exactly once
+    assert(a.map(_.getLong(0)).toSet == docs && a.length == docs.size)
+    // positions within each shard are contiguous 1..n (a reader can seek)
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong &&
+        pos.distinct.length == pos.length,
+        s"shard $shard positions not contiguous 1..n")
+    }
+    // deterministic: a second evaluation yields the identical assignment
+    val b = SparkEntry.queries("ext_shuffle_order")(spark, sfDir).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // and genuinely shuffled: within some shard, hash order differs from
+    // doc_id order (the permutation is not the identity)
+    val somePerm = a.groupBy(_.getLong(1)).values.exists { rows =>
+      val byPos = rows.sortBy(_.getLong(2)).map(_.getLong(0))
+      !byPos.sameElements(byPos.sorted)
+    }
+    assert(somePerm, "shuffle order equals doc_id order — not a shuffle")
+  }
 }
