@@ -922,7 +922,10 @@ object PipelineEntries {
     // accumulates per-frame features — the streaming-ingest shape of a
     // media pipeline (decode as data lands, not as a nightly batch).
     // Must equal the batch decode over all clips (the oracle restates
-    // the frame formula, stride 1).
+    // the frame formula, stride 1). The memory sink is the VERIFY
+    // harness (bounded: per-frame stats rows, not blobs); a production
+    // run pairs this transform with the checkpointed file/upsert sinks
+    // stream_file_sink / stream_upsert demonstrate.
     "stream_media_decode" -> ((s, dir) => {
       val schema = StructType(Seq(
         StructField("media_id", LongType), StructField("blob", BinaryType)))
