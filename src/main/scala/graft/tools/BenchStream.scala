@@ -59,6 +59,12 @@ object BenchStream {
         org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.lit(10)) < 2).count()
 
+    // stream_media_decode's rows/s basis is CLIPS ingested (decode work
+    // per clip is ~frames x pixels, measured separately by
+    // ProbeVideoStride); the staged clip dir is input fixture, not state
+    val allDocRows = graft.sources.ParquetNanos
+      .read(spark, s"$sfDir/documents.parquet").count()
+
     // (entry, input-row base for rows/s, state dirs reset before EVERY
     // pass — checkpoint+sink only, never the staged input fixtures)
     val shapes: Seq[(String, Long, Seq[String])] = Seq(
@@ -68,7 +74,8 @@ object BenchStream {
         Seq(s"/root/repo/target/tmp/stream_upsert_$sfName")),
       ("stream_sessionize", inputRows, Nil),
       ("stream_dedup_near", docRows,
-        Seq(s"/root/repo/target/tmp/stream_dedup_near_$sfName")))
+        Seq(s"/root/repo/target/tmp/stream_dedup_near_$sfName")),
+      ("stream_media_decode", allDocRows, Nil))
 
     val qs = graft.SparkEntry.queries
     val results = shapes.map { case (name, rows, resetDirs) =>
