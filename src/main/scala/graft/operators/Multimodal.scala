@@ -393,9 +393,15 @@ object Multimodal {
     * (sample 1-in-k frames, featurize each). One output row per KEPT
     * frame; skipped frames are never decoded, which is the point of
     * sampling at 100 TB (decode cost scales with kept frames, I/O with
-    * clip bytes). */
+    * clip bytes).
+    *
+    * `lenient = false` (default): any unparsable container or
+    * undecodable frame fails the job loudly. `lenient = true`: a corrupt
+    * clip is skipped ATOMICALLY (no partial frames emitted) — the
+    * corrupt-media policy a 100 TB ingest needs; rejects = input
+    * media_ids anti-joined against the output. */
   def decodeVideoFrames(spark: SparkSession, media: DataFrame,
-                        stride: Int = 1): DataFrame = {
+                        stride: Int = 1, lenient: Boolean = false): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -410,24 +416,39 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val frames = videoFrameBytes(r.getAs[Array[Byte]](1))
-        Iterator.range(0, frames.length).filter(_ % stride == 0).map { f =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(frames(f)))
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = img.getRGB(x, y)
-              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
-              x += 1
+        def decodeAll(): Iterator[Row] = {
+          val frames = videoFrameBytes(r.getAs[Array[Byte]](1))
+          Iterator.range(0, frames.length).filter(_ % stride == 0).map { f =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(f)))
+            // ImageIO returns null (no exception) for unrecognizable bytes
+            if (img == null)
+              throw new java.io.IOException(s"undecodable frame $f of clip $id")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Row(id, f, w, h, sr, sg, sb)
           }
-          Row(id, f, w, h, sr, sg, sb)
         }
+        if (!lenient) decodeAll()
+        // lenient: at corpus scale SOME blobs are corrupt, and one bad
+        // container must not kill a 1000-executor job. Clip-level
+        // atomicity: materialize the clip's rows BEFORE emitting (the
+        // lazy iterator would otherwise emit early frames and then
+        // throw on a later corrupt one), skip the whole clip on any
+        // parse/decode failure. Rejects are recoverable relationally:
+        // anti-join input media_ids against the output.
+        else try decodeAll().toVector.iterator
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }

@@ -519,6 +519,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal video: lenient decode skips corrupt clips atomically; strict fails loudly") {
+    val media = Multimodal.videoMediaTable(spark, docs.limit(10), "doc_id")
+      .select(col("media_id"), col("blob"))
+    val rows = media.collect()
+    val ids = rows.map(_.getLong(0)).sorted
+    val (truncId, garbageId) = (ids(1), ids(4))
+    // two corruption modes: container truncation (parse fails) and valid
+    // framing around undecodable frame bytes (ImageIO returns null)
+    val corrupted = rows.map { r =>
+      val (id, blob) = (r.getLong(0), r.getAs[Array[Byte]](1))
+      val bad: Array[Byte] =
+        if (id == truncId) blob.take(blob.length / 3)
+        else if (id == garbageId) {
+          val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+          val bb = java.nio.ByteBuffer.allocate(4 + 4 + junk.length)
+          bb.putInt(1); bb.putInt(junk.length); bb.put(junk); bb.array()
+        } else blob
+      org.apache.spark.sql.Row(id, bad)
+    }
+    val corruptDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(corrupted: _*)),
+      media.schema)
+    // lenient: exactly the corrupt clips vanish, the rest stay exact
+    val out = Multimodal.decodeVideoFrames(spark, corruptDf, stride = 1,
+      lenient = true).collect()
+    val outIds = out.map(_.getLong(0)).toSet
+    assert(!outIds.contains(truncId) && !outIds.contains(garbageId))
+    assert(outIds == ids.toSet - truncId - garbageId)
+    assert(out.length ==
+      (ids.toSet - truncId - garbageId).toSeq.map(Multimodal.vidFrames(_)).sum)
+    out.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      var er = 0L
+      for (y <- 0 until Multimodal.vidH(id); x <- 0 until Multimodal.vidW(id))
+        er += Multimodal.vpxR(id, f, x, y)
+      assert(r.getLong(4) == er, s"surviving clip $id frame $f not exact")
+    }
+    // strict: the same corrupt input fails the job loudly
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(spark, corruptDf, stride = 1).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("streaming upsert: checkpoint resume across a stop is exactly-once") {
     import org.apache.spark.sql.DataFrame
     val base = "/root/repo/target/tmp/upsert_restart"
