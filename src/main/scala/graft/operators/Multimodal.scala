@@ -93,8 +93,14 @@ object Multimodal {
   /** REAL decode + feature extraction: `ImageIO.read` over the PNG bytes,
     * then per-channel pixel sums over the decoded raster. Runs via
     * mapPartitions — per-partition decoder setup, one batch pass, the
-    * exact seat a vectorized JPEG/video decode takes at 100 TB. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    * exact seat a vectorized JPEG/video decode takes at 100 TB.
+    *
+    * `lenient = false` (default): an undecodable blob fails the job
+    * loudly. `lenient = true`: corrupt rows are skipped (the 100 TB
+    * corrupt-media policy — see [[decodeVideoFrames]]); rejects = input
+    * media_ids anti-joined against the output. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+                     lenient: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("width", IntegerType),
@@ -106,23 +112,30 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("blob")).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
+      rows.flatMap { r =>
         val id = r.getLong(0)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = img.getRGB(x, y)
-            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
-            x += 1
+        def decode(): Row = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null)
+            throw new java.io.IOException(s"undecodable image blob $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          Row(id, w, h, w.toLong * h, sr, sg, sb)
         }
-        Row(id, w, h, w.toLong * h, sr, sg, sb)
+        if (!lenient) Iterator.single(decode())
+        else try Iterator.single(decode())
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }
@@ -211,7 +224,8 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real WAV decode back to PCM16 samples. */
+  /** Real WAV decode back to PCM16 samples. Throws on unparsable bytes
+    * (javax.sound raises UnsupportedAudioFileException). */
   private def decodeWav(wav: Array[Byte]): Array[Int] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
@@ -244,8 +258,12 @@ object Multimodal {
   /** REAL audio decode + feature extraction: WAV bytes -> PCM samples ->
     * integer-exact clip statistics (abs-sum, energy, zero crossings —
     * the standard VAD/loudness primitives). PCM16-in-WAV is lossless, so
-    * the oracle restates the waveform formula relationally. */
-  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    * the oracle restates the waveform formula relationally.
+    *
+    * `lenient`: same corrupt-media policy as [[decodeFeatures]] —
+    * unparsable clips skip instead of failing the job. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame,
+                          lenient: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_samples", LongType),
@@ -254,17 +272,22 @@ object Multimodal {
       StructField("zero_cross", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("blob")).mapPartitions { rows =>
-      rows.map { r =>
+      rows.flatMap { r =>
         val id = r.getLong(0)
-        val s = decodeWav(r.getAs[Array[Byte]](1))
-        var (sa, sq, zc) = (0L, 0L, 0L)
-        var i = 0
-        while (i < s.length) {
-          sa += math.abs(s(i)); sq += s(i).toLong * s(i)
-          if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
-          i += 1
+        def decode(): Row = {
+          val s = decodeWav(r.getAs[Array[Byte]](1))
+          var (sa, sq, zc) = (0L, 0L, 0L)
+          var i = 0
+          while (i < s.length) {
+            sa += math.abs(s(i)); sq += s(i).toLong * s(i)
+            if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          Row(id, s.length.toLong, sa, sq, zc)
         }
-        Row(id, s.length.toLong, sa, sq, zc)
+        if (!lenient) Iterator.single(decode())
+        else try Iterator.single(decode())
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }

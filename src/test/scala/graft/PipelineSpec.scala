@@ -562,6 +562,38 @@ class PipelineSpec extends SparkSpec {
       Multimodal.decodeVideoFrames(spark, corruptDf, stride = 1).collect()
     }
     assert(thrown.getMessage != null)
+
+    // image + audio carry the same policy: garbage blobs skip under
+    // lenient, fail strictly otherwise
+    // badId chosen from the table's OWN rows (limit order is not pinned)
+    def corruptOne(df: org.apache.spark.sql.DataFrame): (Long, Int, org.apache.spark.sql.DataFrame) = {
+      val rs0 = df.select(col("media_id"), col("blob")).collect()
+      val badId = rs0.map(_.getLong(0)).min
+      val rs = rs0.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          if (id == badId) Array.tabulate[Byte](32)(i => (i * 41).toByte)
+          else r.getAs[Array[Byte]](1))
+      }
+      (badId, rs.length, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rs: _*)),
+        df.select(col("media_id"), col("blob")).schema))
+    }
+    val (imgBadId, imgN, imgBad) = corruptOne(
+      Multimodal.pngMediaTable(spark, docs.limit(6), "doc_id"))
+    val imgOut = Multimodal.decodeFeatures(spark, imgBad, lenient = true).collect()
+    assert(imgOut.length == imgN - 1 && !imgOut.map(_.getLong(0)).contains(imgBadId))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark, imgBad).collect()
+    }
+    val (wavBadId, wavN, wavBad) = corruptOne(
+      Multimodal.wavMediaTable(spark, docs.limit(6), "doc_id"))
+    val wavOut = Multimodal.decodeAudioFeatures(spark, wavBad, lenient = true).collect()
+    assert(wavOut.length == wavN - 1 && !wavOut.map(_.getLong(0)).contains(wavBadId))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(spark, wavBad).collect()
+    }
   }
 
   test("streaming upsert: checkpoint resume across a stop is exactly-once") {
