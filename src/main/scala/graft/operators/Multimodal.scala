@@ -211,7 +211,7 @@ object Multimodal {
     AudioRate, 16, 1, true /*signed*/, false /*little-endian*/)
 
   /** Real WAV encode of PCM16 samples via JDK `javax.sound.sampled`. */
-  private def encodeWav(samples: Array[Int]): Array[Byte] = {
+  private[graft] def encodeWav(samples: Array[Int]): Array[Byte] = {
     val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     samples.foreach(s => pcm.putShort(s.toShort))
@@ -226,7 +226,7 @@ object Multimodal {
 
   /** Real WAV decode back to PCM16 samples. Throws on unparsable bytes
     * (javax.sound raises UnsupportedAudioFileException). */
-  private def decodeWav(wav: Array[Byte]): Array[Int] = {
+  private[graft] def decodeWav(wav: Array[Byte]): Array[Int] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     val bytes = ais.readAllBytes()
@@ -344,7 +344,7 @@ object Multimodal {
     ((id * 13 + f * 29 + x * 11 + y * 3) % 256).toInt
 
   /** PNG-encode one raster given per-pixel packed RGB. */
-  private def pngOf(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  private[graft] def pngOf(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -377,7 +377,7 @@ object Multimodal {
   }
 
   /** Parse the container into per-frame PNG byte slices. */
-  private def videoFrameBytes(blob: Array[Byte]): Array[Array[Byte]] = {
+  private[graft] def videoFrameBytes(blob: Array[Byte]): Array[Array[Byte]] = {
     val bb = java.nio.ByteBuffer.wrap(blob)
     Array.fill(bb.getInt()) {
       val len = bb.getInt()

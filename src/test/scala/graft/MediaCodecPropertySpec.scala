@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.operators.Multimodal
+
+/** Losslessness properties of the JDK codec paths on ARBITRARY content —
+  * the oracle-exactness premise. The fixture entries only ever encode
+  * formula-generated pixels/samples; these properties pin that the PNG
+  * raster, the WAV PCM16 stream, and the MJPEG-style container framing
+  * round-trip bit-exactly for ANY content, so the "lossless codec =>
+  * exact relational oracle" argument does not secretly depend on the
+  * fixture's value distribution (e.g. a color-type heuristic in the PNG
+  * writer or a PCM clamp in the WAV path would surface here, not in
+  * production). Driver-side: these are the exact functions the
+  * mapPartitions executors run. */
+object MediaCodecPropertySpec extends Properties("media-codec") {
+
+  private val genDim = Gen.choose(1, 24)
+  private val genSeed = Gen.choose(Long.MinValue, Long.MaxValue)
+
+  private def rgbAt(seed: Long, x: Int, y: Int): Int = {
+    // cheap splitmix-style scramble: full 24-bit RGB coverage, incl.
+    // 0x000000 / 0xFFFFFF extremes for small seeds
+    var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    ((z >>> 24) & 0xFFFFFF).toInt
+  }
+
+  property("PNG round-trips arbitrary rasters bit-exactly") =
+    forAll(genDim, genDim, genSeed) { (w, h, seed) =>
+      val png = Multimodal.pngOf(w, h, (x, y) => rgbAt(seed, x, y))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      var ok = img != null && img.getWidth == w && img.getHeight == h
+      var y = 0
+      while (ok && y < h) {
+        var x = 0
+        while (ok && x < w) {
+          ok = (img.getRGB(x, y) & 0xFFFFFF) == rgbAt(seed, x, y)
+          x += 1
+        }
+        y += 1
+      }
+      ok :| s"pixel mismatch for ${w}x$h seed=$seed"
+    }
+
+  property("WAV round-trips arbitrary PCM16 bit-exactly") =
+    forAll(Gen.nonEmptyListOf(
+        Gen.oneOf(Gen.choose(-32768, 32767), Gen.oneOf(-32768, -1, 0, 1, 32767)))) {
+      samples =>
+        val s = samples.toArray
+        val back = Multimodal.decodeWav(Multimodal.encodeWav(s))
+        (back.length == s.length && back.sameElements(s)) :|
+          s"PCM mismatch on ${s.length} samples"
+    }
+
+  property("container framing round-trips arbitrary frame payloads exactly") =
+    forAll(Gen.listOf(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)))) {
+      payloads =>
+        val frames = payloads.map(_.toArray).toArray
+        val bb = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+        bb.putInt(frames.length)
+        frames.foreach { p => bb.putInt(p.length); bb.put(p) }
+        val parsed = Multimodal.videoFrameBytes(bb.array())
+        (parsed.length == frames.length &&
+          parsed.zip(frames).forall { case (a, b) => a.sameElements(b) }) :|
+          s"framing mismatch on ${frames.length} frames"
+    }
+}
