@@ -841,6 +841,25 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // residual IVF+PQ (the FAISS IndexIVFPQ refinement) at the knobs
+    // where residual coding pays: recall@5 0.94 vs plain 0.74 at sf0.1
+    // (BASELINE_MEASURED round-15 ANN section). NO oracleSql —
+    // deliberately rows-only (the ext_approx_distinct precedent): the
+    // emitted values are exact float cosines of the re-ranked shortlist,
+    // but WHICH rows reach the shortlist depends on the residual Lloyd
+    // training, whose faithful restatement is the ann_pq_topk oracle
+    // with residual subtraction folded through every stage (~200 more
+    // lines of unrolled SQL for no new verification signal: recall,
+    // determinism, and no-regression-vs-plain are pinned in
+    // PipelineSpec, and every shared stage — ivfTrain, trainPq,
+    // encodePq, the ADC fold — is hash-verified by the sibling entries).
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Quantization.ivfPqResidualTopK(
+        e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8, refine = 16)
+    }),
+
     // --------------------------------------------------------- multimodal
 
     "mm_meta" -> ((s, dir) =>

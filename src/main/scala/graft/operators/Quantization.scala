@@ -212,6 +212,101 @@ object Quantization {
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF+PQ with RESIDUAL encoding — the production layout refinement
+    * (FAISS IndexIVFPQ's default): PQ codes quantize `v - centroid[b]`
+    * instead of `v`, so the 2^codes budget describes the WITHIN-cluster
+    * spread rather than re-describing cluster positions the coarse
+    * quantizer already knows — higher recall at identical code bytes.
+    * ADC decomposes exactly over the residual:
+    *   <q, v̂>  = <q, c_b> + <q, r̂>
+    *   ||v̂||²  = ||c_b||² + 2<c_b, r̂> + ||r̂||²
+    * where <q, r̂> reuses the plain per-query LUT (global residual
+    * codebooks), and both centroid cross terms are per-BUCKET plan
+    * literals: ||c_b||² (nlist doubles) and bLut[b][s*k+j] =
+    * <c_b_sub_s, codebook[s][j]> (nlist x m x k doubles — 2 KB at the
+    * demo parameters, centroid-matrix-sized state like everything else
+    * here). Exact float cosine re-ranks the ADC shortlist, so emitted
+    * values are exact; only WHICH candidates the shortlist holds is
+    * approximate — recall measured against brute force in
+    * ProbeAnnRecall / PipelineSpec. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, kCodes: Int = 16, refine: Int = 4): DataFrame = {
+    val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist)
+    val dim = centroids(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centLit = typedlit(centroids.map(_.map(_.toDouble)).toSeq)
+    // residual = v - centroid[bucket], float32-cast (the same discipline
+    // as codebook means: downstream argmins must not sit on ulp ties)
+    def residualized(df: DataFrame, vc: String): DataFrame = df
+      .withColumn("bucket", Similarity.ivfAssign(col(vc), centroids))
+      .withColumn("resid",
+        zip_with(col(vc), element_at(centLit, col("bucket") + 1),
+          (v, c) => (v.cast(DoubleType) - c).cast(FloatType)))
+    val residTrain = residualized(
+        corpus.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col("resid").as(vecCol))
+    val codebooks = trainPq(residTrain, idCol, vecCol, m, kCodes)
+    val kk = codebooks(0).length
+
+    val coded = residualized(
+        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_v")
+      .withColumn("codes", encodePq(col("resid"), codebooks))
+      .select(col("n_id"), col("n_v"), col("bucket"), col("codes"))
+
+    val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
+    val cbNorm = typedlit(centroids.map(_.map(x => x.toDouble * x).sum).toSeq)
+    val bLut = typedlit(centroids.map { cent =>
+      val cd = cent.map(_.toDouble).toArray
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map(cw => cw.zipWithIndex.map { case (x, i) =>
+          x * cd(s * dsub + i) }.sum)
+      }.toSeq
+    }.toSeq)
+
+    // probe list: cosine desc, ties -> lowest centroid id (the
+    // ivfPqTopK convention)
+    val probeArr = {
+      val scoredArr = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct((-Similarity.cosine(col("q_v"), typedlit(c))).as("ns"),
+          lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(scoredArr), 1, nprobe), p => p.getField("i"))
+    }
+    def dotQ(centArr: Column): Column =
+      aggregate(zip_with(col("q_v"), centArr,
+        (a, b) => a.cast(DoubleType) * b), lit(0.0), (acc, v) => acc + v)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("qlut", queryLut(col("q_v"), codebooks))
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("q_v"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("q_id"), col("q_v"), col("qlut"), col("qn"),
+        explode(probeArr).as("bucket"))
+      // <q, c_b> per (query, probed bucket): nprobe dot products per
+      // query, on the tiny broadcast side
+      .withColumn("qc", dotQ(element_at(centLit, col("bucket") + 1)))
+
+    def fold(codes: Column, lut: Column) =
+      graft.functions.PqOps.adcFold(codes, lut, kk)
+    val scored = coded.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        (col("qc") + fold(col("codes"), col("qlut"))) /
+          (col("qn") * sqrt(
+            element_at(cbNorm, col("bucket") + 1)
+              + lit(2.0) * fold(col("codes"), element_at(bLut, col("bucket") + 1))
+              + fold(col("codes"), normLut))))
+    val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
+        Seq(("adc", true), ("n_id", false)), refine * k)
+      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
+    Relational.topKPerGroup(shortlist, Seq("q_id"),
+        Seq(("cosine", true), ("n_id", false)), k)
+      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF+PQ — the production ANN layout: an IVF coarse quantizer prunes
     * the corpus to the query's `nprobe` nearest buckets, PQ-ADC scores
     * only those candidates from 8-byte codes, exact cosine re-ranks the

@@ -68,7 +68,16 @@ object ProbeAnnRecall {
         e, qs, "vec_id", "embedding", k = k, cb, refine = 16)),
       "ivfpq_probe8_refine16" -> (() => graft.operators.Quantization.ivfPqTopK(
         e, qs, "vec_id", "embedding", k = k, nlist = 16, nprobe = 8,
-        m = 8, kCodes = 16, refine = 16)))
+        m = 8, kCodes = 16, refine = 16)),
+      // residual encoding at the ENTRY parameters (nprobe=6, refine=4)
+      // and tuned — the FAISS IndexIVFPQ shape; compare against
+      // ann_ivfpq_topk / ivfpq_probe8_refine16 at matching knobs
+      "ivfpq_residual_entry" -> (() => graft.operators.Quantization
+        .ivfPqResidualTopK(e, qs, "vec_id", "embedding", k = k,
+          nlist = 16, nprobe = 6, m = 8, kCodes = 16, refine = 4)),
+      "ivfpq_residual_p8_r16" -> (() => graft.operators.Quantization
+        .ivfPqResidualTopK(e, qs, "vec_id", "embedding", k = k,
+          nlist = 16, nprobe = 8, m = 8, kCodes = 16, refine = 16)))
       .map { case (n, b) => n -> recallOf(b()) }
     tuned.foreach { case (m, r) =>
       System.err.println(f"$m%-24s recall@$k = $r%.3f (tuned)")
