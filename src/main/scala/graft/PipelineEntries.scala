@@ -841,6 +841,17 @@ object PipelineEntries {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
     }),
 
+    // int8 scalar-quantized search: approximate cosine on DECODED int8
+    // corpus vectors -> refine*k shortlist -> exact float re-rank. No
+    // trained state beyond per-dim (min,max), so the WHOLE path is
+    // restated in the oracle — the fully-hash-verified quantized-ANN
+    // member (PQ/IVF siblings unroll Lloyd; residual is rows-only)
+    "ann_int8_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Quantization.int8TopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // residual IVF+PQ (the FAISS IndexIVFPQ refinement) at the knobs
     // where residual coding pays: recall@5 0.94 vs plain 0.74 at sf0.1
     // (BASELINE_MEASURED round-15 ANN section). NO oracleSql —
@@ -1566,6 +1577,54 @@ object PipelineEntries {
     // ranges over the corpus, encode = round((v-mn)*255/(mx-mn)), plus
     // self-cosine fidelity columns (cos(x,x)=1 numerically on both
     // engines after round(.,4))
+    // full int8 search restated: same dims/ranges CTEs as
+    // ext_quantize_int8, then encode->decode->approx cosine (identical
+    // operation order to int8TopK: dot/norm folds in index order,
+    // division last), refine*k=20 shortlist by (adc8, n_id), exact
+    // re-rank top-5
+    "ann_int8_topk" ->
+      """WITH dims AS (
+           SELECT i, min(v) AS mn, max(v) AS mx FROM (
+             SELECT unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)
+           GROUP BY i),
+         r AS (
+           SELECT list(mn::DOUBLE ORDER BY i) AS mns,
+             list(CASE WHEN mx > mn THEN 255.0 / (mx::DOUBLE - mn::DOUBLE)
+                  ELSE 0.0 END ORDER BY i) AS scs,
+             list(CASE WHEN mx > mn THEN (mx::DOUBLE - mn::DOUBLE) / 255.0
+                  ELSE 0.0 END ORDER BY i) AS invs
+           FROM dims),
+         dec AS (
+           SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             list_transform(
+               list_transform(e.embedding,
+                 (v, i) -> CAST(round((v::DOUBLE - r.mns[i]) * r.scs[i]) AS INT)),
+               (c, i) -> c::DOUBLE * r.invs[i] + r.mns[i]) AS d
+           FROM embeddings e CROSS JOIN r),
+         q AS (
+           SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+             list_transform(embedding, x -> x::DOUBLE) AS qd,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE))) AS qn
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, n.vec_id AS n_id, n.ev AS ne, q.qe,
+             list_sum(list_transform(n.d, (x, i) -> x * q.qd[i]))
+               / (sqrt(list_sum(list_transform(n.d, x -> x * x))) * q.qn) AS adc8
+           FROM dec n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+         short AS (SELECT q_id, n_id, ne, qe FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc8 DESC, n_id ASC) AS rn FROM scored)
+           WHERE rn <= 20),
+         rer AS (SELECT q_id, n_id,
+             list_cosine_similarity(qe, ne) AS cosine FROM short)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM rer)
+         WHERE rn <= 5""",
+
     "ext_quantize_int8" ->
       """WITH dims AS (
            SELECT i, min(v) AS mn, max(v) AS mx FROM (

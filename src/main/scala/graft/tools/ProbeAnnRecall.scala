@@ -31,7 +31,7 @@ object ProbeAnnRecall {
     val k = brute.values.map(_.size).max
 
     val methods = Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-      "ann_ivfpq_topk")
+      "ann_ivfpq_topk", "ann_int8_topk", "ann_ivfpq_residual")
     val recalls = methods.map { m =>
       val approx = neighborSets(m)
       val r = brute.toSeq.map { case (q, ids) =>
