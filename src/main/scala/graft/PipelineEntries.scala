@@ -87,10 +87,22 @@ object PipelineEntries {
     * Dedup / Similarity / this file): the version is part of the on-disk
     * path, so parquet written by an older build is never silently reused
     * across JVMs — the gates would otherwise validate stale results. */
-  private val ArtifactVersion = 6
-  private def artifactPath(dir: String, name: String): String =
+  private[graft] val ArtifactVersion = 7
+  private def artifactRoot(dir: String): String =
     s"target/prepared/pipeline/v$ArtifactVersion/" +
-      s"${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$name"
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+  private def artifactPath(dir: String, name: String): String =
+    s"${artifactRoot(dir)}/$name"
+
+  /** Placeholder in oracle SQL for the corpus's absolute artifact root:
+    * oracles of entries whose trained state is parquet-persisted (the
+    * residual IVF+PQ index) read that state instead of unrolling the
+    * training — [[graft.Verify]] substitutes the token per sfDir before
+    * dumping oracle_sql.json, so the DuckDB gate sees a plain path. */
+  private[graft] val ArtifactToken = "__GRAFT_PIPELINE_ART__"
+  private[graft] def resolveOracle(sql: String, dir: String): String =
+    sql.replace(ArtifactToken,
+      new java.io.File(artifactRoot(dir)).getAbsolutePath)
   private def artifact(s: SparkSession, dir: String, name: String)
                       (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + ":" + dir + ":" + name
@@ -206,6 +218,39 @@ object PipelineEntries {
     })
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
+
+  /** Residual-PQ codebooks over the [[ivfIndex]] centroids (the FAISS
+    * IndexIVFPQ trained state), persisted as `residual_codebooks`
+    * (s, j, cent: array<double>) and COLLECTED BACK from the written
+    * table, so the engine and the DuckDB oracle consume literally the
+    * same parquet state — every codebook value is float-representable
+    * (trainPq float-rounds means; init subvectors are corpus floats), so
+    * the write/read round trip is bit-exact. m*k*(dim/m) doubles: driver
+    * state stays codebook-sized by contract. */
+  private val residualCbMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]
+  private def residualCodebooks(s: SparkSession, dir: String,
+                                cent: Array[Seq[Float]]): Array[Array[Array[Double]]] =
+    residualCbMemo.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir, _ => {
+        val cbDf = artifact(s, dir, "residual_codebooks") {
+          val trained = graft.operators.Quantization.trainResidualCodebooks(
+            embeddings(s, dir), "vec_id", "embedding", cent,
+            m = 8, kCodes = 16, iters = 3)
+          import s.implicits._
+          trained.zipWithIndex.flatMap { case (sub, si) =>
+            sub.zipWithIndex.map { case (cw, j) => (si, j, cw.toSeq) }
+          }.toSeq.toDF("s", "j", "cent")
+        }
+        val rows = cbDf.collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val kk = rows.map(_.getInt(1)).max + 1
+        val out = Array.ofDim[Array[Double]](m, kk)
+        rows.foreach { r =>
+          out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+        }
+        out
+      })
 
   /** Hash-sharded greedy sequence packing over (doc_id, lang, n_tokens):
     * route each doc to a deterministic shard (portable md5-56 of doc_id
@@ -854,21 +899,19 @@ object PipelineEntries {
 
     // residual IVF+PQ (the FAISS IndexIVFPQ refinement) at the knobs
     // where residual coding pays: recall@5 0.94 vs plain 0.74 at sf0.1
-    // (BASELINE_MEASURED round-15 ANN section). NO oracleSql —
-    // deliberately rows-only (the ext_approx_distinct precedent): the
-    // emitted values are exact float cosines of the re-ranked shortlist,
-    // but WHICH rows reach the shortlist depends on the residual Lloyd
-    // training, whose faithful restatement is the ann_pq_topk oracle
-    // with residual subtraction folded through every stage (~200 more
-    // lines of unrolled SQL for no new verification signal: recall,
-    // determinism, and no-regression-vs-plain are pinned in
-    // PipelineSpec, and every shared stage — ivfTrain, trainPq,
-    // encodePq, the ADC fold — is hash-verified by the sibling entries).
+    // (BASELINE_MEASURED round-15 ANN section). Fully oracled since
+    // round 16: the trained state — IVF centroids (shared with
+    // ann_ivf_topk's `ivf_centroids` artifact: identical nlist=16/
+    // iters=3 training) and residual codebooks — is parquet-persisted
+    // and the oracle reads it back, restating only the query-time path
+    // (assign, residual, encode, residual-ADC, exact re-rank) in SQL.
     "ann_ivfpq_residual" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      graft.operators.Quantization.ivfPqResidualTopK(
+      val (cent, _) = ivfIndex(s, dir)
+      val cb = residualCodebooks(s, dir, cent)
+      graft.operators.Quantization.ivfPqResidualTopKFromIndex(
         e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8, refine = 16)
+        "vec_id", "embedding", k = 5, cent, cb, nprobe = 8, refine = 16)
     }),
 
     // --------------------------------------------------------- multimodal
@@ -2647,6 +2690,94 @@ object PipelineEntries {
              ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
          WHERE rn <= 5"""
     },
+
+    // Residual IVF+PQ against the PERSISTED trained state: the oracle
+    // reads the same parquet the engine collected its plan literals from
+    // (`ivf_centroids` — shared with ann_ivf_topk's training — and
+    // `residual_codebooks`; [[ArtifactToken]] resolves to the corpus's
+    // artifact root in Verify), then restates only the query-time path:
+    // assign (cosine argmax, ties lowest b), float32-cast residual,
+    // per-subspace L2 argmin encode (ties lowest j), the residual-ADC
+    // decomposition <q,c_b> + <q,r̂> over sqrt(||c_b||^2 + 2<c_b,r̂> +
+    // ||r̂||^2), refine*k=80 shortlist, exact float-cosine re-rank.
+    "ann_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT bucket AS b, centroid::DOUBLE[] AS cent
+                  FROM '$ArtifactToken/ivf_centroids/*.parquet'),
+         cb AS (SELECT s, j, cent
+                FROM '$ArtifactToken/residual_codebooks/*.parquet'),
+         asg AS (SELECT vec_id, b FROM (
+             SELECT e.vec_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
+                   c.b ASC) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         resid AS (SELECT a.vec_id, a.b,
+             list_transform(e.v, (x, i) ->
+               CAST(CAST(x - c.cent[i] AS REAL) AS DOUBLE)) AS r
+           FROM asg a JOIN e ON e.vec_id = a.vec_id
+           JOIN cent c ON c.b = a.b),
+         sub AS (SELECT vec_id, s, r[s * 8 + 1 : s * 8 + 8] AS subv
+                 FROM resid, range(8) t(s)),
+         enc AS (SELECT vec_id, s, j AS code FROM (
+             SELECT sub.vec_id, sub.s, c.j,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_sum(list_transform(sub.subv, (a, i) ->
+                   (a - c.cent[i]) * (a - c.cent[i]))) ASC, c.j ASC) AS rn
+             FROM sub JOIN cb c ON c.s = sub.s) WHERE rn = 1),
+         nrm AS (SELECT s, j, list_sum(list_transform(cent, x -> x * x)) AS w
+                 FROM cb),
+         cbn AS (SELECT b, list_sum(list_transform(cent, x -> x * x)) AS w
+                 FROM cent),
+         blut AS (SELECT c.b, k.s, k.j,
+             list_sum(list_transform(k.cent, (x, i) ->
+               x * c.cent[k.s * 8 + i])) AS d
+           FROM cent c CROSS JOIN cb k),
+         q AS (SELECT vec_id AS q_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+               FROM e WHERE vec_id < 10),
+         pr AS (SELECT q_id, b AS bucket FROM (
+             SELECT q.q_id, c.b,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.v, c.cent) DESC,
+                   c.b ASC) AS rn
+             FROM q CROSS JOIN cent c) WHERE rn <= 8),
+         qc AS (SELECT q.q_id, c.b,
+             list_sum(list_transform(q.v, (x, i) -> x * c.cent[i])) AS d
+           FROM q CROSS JOIN cent c),
+         dots AS (SELECT q.q_id, c.s, c.j,
+             list_sum(list_transform(c.cent, (x, i) ->
+               x * q.v[c.s * 8 + i])) AS d
+           FROM q CROSS JOIN cb c),
+         adc AS (
+           SELECT q.q_id, a.vec_id AS n_id,
+             (any_value(qc.d) + sum(d.d)) /
+               (any_value(q.qn) * sqrt(any_value(cbn.w)
+                 + 2.0 * sum(bl.d) + sum(n.w))) AS adc
+           FROM q
+           JOIN asg a ON a.vec_id <> q.q_id
+             AND a.b IN (SELECT bucket FROM pr p WHERE p.q_id = q.q_id)
+           JOIN enc f ON f.vec_id = a.vec_id
+           JOIN dots d ON d.q_id = q.q_id AND d.s = f.s AND d.j = f.code
+           JOIN nrm n ON n.s = f.s AND n.j = f.code
+           JOIN blut bl ON bl.b = a.b AND bl.s = f.s AND bl.j = f.code
+           JOIN qc ON qc.q_id = q.q_id AND qc.b = a.b
+           JOIN cbn ON cbn.b = a.b
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc DESC, n_id ASC) AS rn FROM adc)
+           WHERE rn <= 80),
+         scored AS (
+           SELECT s.q_id, s.n_id,
+             list_cosine_similarity(q.v, n.v) AS cosine
+           FROM short s
+           JOIN e q ON q.vec_id = s.q_id
+           JOIN e n ON n.vec_id = s.n_id)
+         SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
+         WHERE rn <= 5""",
 
     // IVF training unrolled over the BASE slice only, then the
     // increment assigned to the final centroids (ties -> lowest bucket,

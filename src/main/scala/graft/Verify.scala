@@ -28,12 +28,16 @@ object Verify {
     // round-over-round verify_times diff. One small scan+join+agg+sort+
     // write over the KB-sized dims pays those costs before the clock
     // starts; per-entry plan compilation stays attributed to its entry.
+    // Under target/tmp, NOT outDir: a mid-run failure must not leave a
+    // _warmup dir inside the verify output where the driver's compare
+    // or artifact diffs would trip over it (round-15 advice).
+    val warmupDir = "target/tmp/verify_warmup"
     locally {
       val nation = graft.sources.ParquetNanos.read(spark, s"$sfDir/nation.parquet")
       val region = graft.sources.ParquetNanos.read(spark, s"$sfDir/region.parquet")
       nation.join(region, nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name").count().orderBy("r_name")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_warmup")
+        .coalesce(1).write.mode("overwrite").parquet(warmupDir)
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!skip(name)) {
@@ -68,8 +72,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Resolve the pipeline-artifact path token per sfDir: oracles of
+    // entries with parquet-persisted trained state (residual IVF+PQ)
+    // read that state by absolute path in the DuckDB gate.
     val json = SparkEntry.oracleSql.filterNot { case (k, _) => skip(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(PipelineEntries.resolveOracle(v, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val timesJson = times.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
@@ -78,7 +87,7 @@ object Verify {
     def rmAll(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(): Unit
     }
-    rmAll(new java.io.File(s"$outDir/_warmup"))
+    rmAll(new java.io.File(warmupDir))
     spark.stop()
   }
 }

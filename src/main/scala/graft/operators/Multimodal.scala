@@ -376,14 +376,48 @@ object Multimodal {
     bb.array()
   }
 
-  /** Parse the container into per-frame PNG byte slices. */
+  /** Parse the container into per-frame PNG byte slices.
+    *
+    * Length prefixes are UNTRUSTED input: a corrupt blob whose frame
+    * count or frame length decodes to a huge positive int would drive
+    * Array.fill / new Array[Byte] into an OutOfMemoryError — an Error
+    * NonFatal does NOT catch, so the lenient corrupt-media policy
+    * ("one bad container must not kill a 1000-executor job") would
+    * still kill executors on that corruption class. Every prefix is
+    * therefore validated against the bytes actually remaining (a frame
+    * costs at least its 4-byte length prefix) and violations throw
+    * IOException, which the lenient catch handles like any other
+    * corruption (round-15 advice #1). */
   private[graft] def videoFrameBytes(blob: Array[Byte]): Array[Array[Byte]] = {
     val bb = java.nio.ByteBuffer.wrap(blob)
-    Array.fill(bb.getInt()) {
+    if (bb.remaining() < 4)
+      throw new java.io.IOException("truncated container: no frame count")
+    val n = bb.getInt()
+    if (n < 0 || n > bb.remaining() / 4)
+      throw new java.io.IOException(
+        s"corrupt frame count $n for ${bb.remaining()} payload bytes")
+    Array.fill(n) {
+      if (bb.remaining() < 4)
+        throw new java.io.IOException("truncated container: no frame length")
       val len = bb.getInt()
+      if (len < 0 || len > bb.remaining())
+        throw new java.io.IOException(
+          s"corrupt frame length $len with ${bb.remaining()} bytes left")
       val p = new Array[Byte](len); bb.get(p); p
     }
   }
+
+  /** Decode every frame of a clip, IOException (not an opaque NPE) on
+    * undecodable bytes — shared by the whole-clip decode family so the
+    * corrupt-media policy is uniform (round-15 advice #2). */
+  private def decodeAllFrames(id: Long,
+                              blob: Array[Byte]): Array[java.awt.image.BufferedImage] =
+    videoFrameBytes(blob).zipWithIndex.map { case (p, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null)
+        throw new java.io.IOException(s"undecodable frame $f of clip $id")
+      img
+    }
 
   /** Media table of MJPEG-style clips of real PNG frames, one clip per
     * row of `df` keyed by non-negative long `idCol`. Encoding runs
@@ -479,8 +513,12 @@ object Multimodal {
   /** REAL temporal feature: decode ALL frames of each clip and sum the
     * absolute per-pixel differences between consecutive DECODED frames
     * per channel — the motion/scene-change primitive. Integer-exact over
-    * lossless PNG frames, so the oracle restates it from the formula. */
-  def decodeVideoMotion(spark: SparkSession, media: DataFrame): DataFrame = {
+    * lossless PNG frames, so the oracle restates it from the formula.
+    * `lenient` follows the shared corrupt-media policy of
+    * [[decodeVideoFrames]]: skip a corrupt clip atomically instead of
+    * failing the job. */
+  def decodeVideoMotion(spark: SparkSession, media: DataFrame,
+                        lenient: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_frames", LongType),
@@ -490,31 +528,34 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("blob")).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
+      rows.flatMap { r =>
         val id = r.getLong(0)
-        val frames = videoFrameBytes(r.getAs[Array[Byte]](1)).map { p =>
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        }
-        var (mr, mg, mb) = (0L, 0L, 0L)
-        var f = 1
-        while (f < frames.length) {
-          val (prev, cur) = (frames(f - 1), frames(f))
-          val (w, h) = (cur.getWidth, cur.getHeight)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
-              mr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
-              mg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
-              mb += math.abs((a & 0xFF) - (b & 0xFF))
-              x += 1
+        def one(): Row = {
+          val frames = decodeAllFrames(id, r.getAs[Array[Byte]](1))
+          var (mr, mg, mb) = (0L, 0L, 0L)
+          var f = 1
+          while (f < frames.length) {
+            val (prev, cur) = (frames(f - 1), frames(f))
+            val (w, h) = (cur.getWidth, cur.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
+                mr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
+                mg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
+                mb += math.abs((a & 0xFF) - (b & 0xFF))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            f += 1
           }
-          f += 1
+          Row(id, frames.length.toLong, mr, mg, mb)
         }
-        Row(id, frames.length.toLong, mr, mg, mb)
+        if (!lenient) Iterator.single(one())
+        else try Iterator.single(one())
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }
@@ -524,8 +565,10 @@ object Multimodal {
     * frame dims, per-channel abs pixel-diff sums). The keyframe /
     * scene-change primitive: a downstream relational filter on the diff
     * magnitude picks the frames where content moved, without any
-    * driver-side logic. Integer-exact over lossless PNG frames. */
-  def decodeVideoFrameDiffs(spark: SparkSession, media: DataFrame): DataFrame = {
+    * driver-side logic. Integer-exact over lossless PNG frames.
+    * `lenient` skips a corrupt clip atomically (the shared policy). */
+  def decodeVideoFrameDiffs(spark: SparkSession, media: DataFrame,
+                            lenient: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("frame_idx", IntegerType),
@@ -539,27 +582,32 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val frames = videoFrameBytes(r.getAs[Array[Byte]](1)).map { p =>
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        }
-        Iterator.range(1, frames.length).map { f =>
-          val (prev, cur) = (frames(f - 1), frames(f))
-          val (w, h) = (cur.getWidth, cur.getHeight)
-          var (dr, dg, db) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
-              dr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
-              dg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
-              db += math.abs((a & 0xFF) - (b & 0xFF))
-              x += 1
+        def all(): Iterator[Row] = {
+          val frames = decodeAllFrames(id, r.getAs[Array[Byte]](1))
+          Iterator.range(1, frames.length).map { f =>
+            val (prev, cur) = (frames(f - 1), frames(f))
+            val (w, h) = (cur.getWidth, cur.getHeight)
+            var (dr, dg, db) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val a = cur.getRGB(x, y); val b = prev.getRGB(x, y)
+                dr += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF))
+                dg += math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF))
+                db += math.abs((a & 0xFF) - (b & 0xFF))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Row(id, f, w, h, dr, dg, db)
           }
-          Row(id, f, w, h, dr, dg, db)
         }
+        if (!lenient) all()
+        // clip-level atomicity, as in decodeVideoFrames: materialize
+        // before emitting so a late corrupt frame can't half-emit
+        else try all().toVector.iterator
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(enc)
   }

@@ -271,25 +271,59 @@ object Quantization {
                         nlist: Int = 16, nprobe: Int = 4,
                         m: Int = 8, kCodes: Int = 16, refine: Int = 4): DataFrame = {
     val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist)
+    val codebooks = trainResidualCodebooks(corpus, idCol, vecCol, centroids,
+      m, kCodes)
+    ivfPqResidualTopKFromIndex(corpus, queries, idCol, vecCol, k,
+      centroids, codebooks, nprobe, refine)
+  }
+
+  /** residual = v - centroid[nearest bucket], float32-cast (the same
+    * discipline as codebook means: downstream argmins must not sit on
+    * ulp ties). */
+  private def residualized(df: DataFrame, vc: String,
+                           centroids: Array[Seq[Float]]): DataFrame = {
+    val centLit = typedlit(centroids.map(_.map(_.toDouble)).toSeq)
+    df.withColumn("bucket", Similarity.ivfAssign(col(vc), centroids))
+      .withColumn("resid",
+        zip_with(col(vc), element_at(centLit, col("bucket") + 1),
+          (v, c) => (v.cast(DoubleType) - c).cast(FloatType)))
+  }
+
+  /** Residual PQ codebooks: [[trainPq]] over `v - centroid[bucket]`
+    * (the within-cluster spread) instead of the raw vectors. Training is
+    * deterministic given the centroids, so persisted codebooks replayed
+    * through [[ivfPqResidualTopKFromIndex]] are bit-identical to an
+    * inline train — the property the parquet-persisted oracle state
+    * relies on. */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Seq[Float]],
+                             m: Int = 8, kCodes: Int = 16,
+                             iters: Int = 3): Array[Array[Array[Double]]] = {
+    val residTrain = residualized(
+        corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .select(col(idCol), col("resid").as(vecCol))
+    trainPq(residTrain, idCol, vecCol, m, kCodes, iters)
+  }
+
+  /** [[ivfPqResidualTopK]] from pre-trained state (IVF centroids +
+    * residual codebooks) — index training is prepare-phase work persisted
+    * once per corpus; the per-query plan assigns/encodes/ADC-scores from
+    * plan-literal state only. */
+  def ivfPqResidualTopKFromIndex(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 centroids: Array[Seq[Float]],
+                                 codebooks: Array[Array[Array[Double]]],
+                                 nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val m = codebooks.length
     val dim = centroids(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val centLit = typedlit(centroids.map(_.map(_.toDouble)).toSeq)
-    // residual = v - centroid[bucket], float32-cast (the same discipline
-    // as codebook means: downstream argmins must not sit on ulp ties)
-    def residualized(df: DataFrame, vc: String): DataFrame = df
-      .withColumn("bucket", Similarity.ivfAssign(col(vc), centroids))
-      .withColumn("resid",
-        zip_with(col(vc), element_at(centLit, col("bucket") + 1),
-          (v, c) => (v.cast(DoubleType) - c).cast(FloatType)))
-    val residTrain = residualized(
-        corpus.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol), col("resid").as(vecCol))
-    val codebooks = trainPq(residTrain, idCol, vecCol, m, kCodes)
     val kk = codebooks(0).length
 
     val coded = residualized(
-        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_v")
+        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_v",
+        centroids)
       .withColumn("codes", encodePq(col("resid"), codebooks))
       .select(col("n_id"), col("n_v"), col("bucket"), col("codes"))
 

@@ -25,7 +25,8 @@ object ProbeOne {
       case c => c.toString
     } + "\""
     val json = names.toSeq
-      .flatMap(n => graft.SparkEntry.oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
+      .flatMap(n => graft.SparkEntry.oracleSql.get(n).map(sql =>
+        s"${q(n)}: ${q(graft.PipelineEntries.resolveOracle(sql, sfDir))}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -67,4 +67,38 @@ object MediaCodecPropertySpec extends Properties("media-codec") {
           parsed.zip(frames).forall { case (a, b) => a.sameElements(b) }) :|
           s"framing mismatch on ${frames.length} frames"
     }
+
+  // Length prefixes are untrusted: a corrupt count/len decoding to a
+  // huge positive int must throw IOException (handled by the lenient
+  // corrupt-media policy) BEFORE any proportional allocation — an
+  // OutOfMemoryError is an Error that NonFatal does not catch, so this
+  // corruption class would otherwise kill executors (round-15 advice).
+  private def throwsIoe(blob: Array[Byte]): Boolean =
+    try { Multimodal.videoFrameBytes(blob); false }
+    catch { case _: java.io.IOException => true }
+
+  property("corrupt frame COUNT throws IOException, never allocates") =
+    forAll(Gen.oneOf(Gen.choose(1, Int.MaxValue), Gen.const(Int.MaxValue)),
+           Gen.choose(0, 32)) { (badCount, pad) =>
+      // payload can hold at most pad/4 frames; any count above that lies
+      val bb = java.nio.ByteBuffer.allocate(4 + pad)
+      bb.putInt(badCount)
+      (badCount > pad / 4) ==> throwsIoe(bb.array())
+    }
+
+  property("corrupt frame LENGTH throws IOException, never allocates") =
+    forAll(Gen.choose(1, Int.MaxValue), Gen.choose(0, 32)) { (badLen, pad) =>
+      val bb = java.nio.ByteBuffer.allocate(8 + pad)
+      bb.putInt(1)       // one frame
+      bb.putInt(badLen)  // claiming more bytes than remain
+      (badLen > pad) ==> throwsIoe(bb.array())
+    }
+
+  property("negative count/length and truncated headers throw IOException") =
+    forAll(Gen.oneOf(-1, Int.MinValue, -42)) { neg =>
+      val c = java.nio.ByteBuffer.allocate(4).putInt(neg).array()
+      val l = java.nio.ByteBuffer.allocate(8).putInt(1).putInt(neg).array()
+      throwsIoe(c) && throwsIoe(l) &&
+        throwsIoe(Array.empty[Byte]) && throwsIoe(Array[Byte](0, 0, 0))
+    }
 }

@@ -218,6 +218,20 @@ class PlanAuditSpec extends SparkSpec {
        "group_by":["user_id"]}"""
     assert(routeOf(banded) == "ZRouted(z_user_ts)",
       s"expected ZRouted(z_user_ts), got ${routeOf(banded)}")
+    // row-level parity for THIS query shape (user-band x derived-day
+    // band): the routed result must equal the same query compiled on
+    // the plain fact scan — pins the dayAsTsConds mapping directly
+    // instead of relying on the sibling z-order audits (round-15
+    // advice #4)
+    locally {
+      val q = graft.dsl.QueryJson.parse(banded)
+      val zrouted = eng.executeJson(banded).collect().map(_.toString).sorted
+      val rawScan = graft.engine.Compiler.compile(spark, q, eng.catalog)
+        .collect().map(_.toString).sorted
+      assert(zrouted.sameElements(rawScan),
+        s"ZRouted(z_user_ts) result diverges from the raw scan: " +
+          s"${zrouted.length} vs ${rawScan.length} rows")
+    }
 
     // the alternate corpus (custom_queries_example.json:1-30, schema-
     // mapped): alt1 = golden_q1 + ORDER BY on the measure (still the
