@@ -69,6 +69,19 @@ object Bench {
 
   val headline: Seq[String] = relational ++ pipeline
 
+  /** Second headline group (round 16): the families added after round 12
+    * that the frozen 35-entry headline never timed at bench scale —
+    * multimodal decode, the routed z-order box, quantized ANN, Bloom
+    * decontamination, the epoch shuffle. Same protocol (untimed group
+    * warmup, cold pass, min-of-[[WarmPasses]] warm, contended flag);
+    * measured AFTER group 1 and reported under separate keys, so group-1
+    * totals stay comparable to the r14/r15 artifacts. DuckDB twins:
+    * tools/bench_oracle.py GROUP2 times the same entries' oracles. */
+  val extended: Seq[String] = Seq(
+    "mm_features", "mm_video_frames", "mm_audio_features",
+    "route_zorder_box", "ann_int8_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_residual", "text_decontaminate_bloom", "ext_shuffle_order")
+
   /** Warm timed passes per query; the reported number is the minimum. */
   val WarmPasses = 3
 
@@ -130,20 +143,30 @@ object Bench {
     val rel = measure(picked(relational), noop)
     val pipe = measure(picked(pipeline),
       () => graft.operators.Dedup.releaseIntermediates())
+    // group 2 runs strictly AFTER group 1 so its artifact builds and
+    // resident blocks can't contaminate the comparable group-1 numbers
+    val activeExt = picked(extended)
+    val ext = measure(activeExt,
+      () => graft.operators.Dedup.releaseIntermediates())
 
     val cold = rel._1 ++ pipe._1
     val warmAll: Map[String, Seq[Double]] = rel._2 ++ pipe._2
     val warmBest = active.map(n =>
       n -> warmAll(n).filter(_ >= 0).minOption.getOrElse(-1.0))
+    val coldExt = ext._1
+    val warmAllExt: Map[String, Seq[Double]] = ext._2
+    val warmBestExt = activeExt.map(n =>
+      n -> warmAllExt(n).filter(_ >= 0).minOption.getOrElse(-1.0))
 
     // contention self-diagnosis: warm best > 1.5x cold is physically
     // impossible from plan properties alone (floor of 0.15s keeps
     // scheduler jitter on sub-100ms queries from tripping it), and warm
     // passes disagreeing >3x among themselves means something else had
     // the CPU mid-run.
-    val coldMap = cold.toMap
-    val suspects = active.flatMap { n =>
-      val c = coldMap(n); val ws = warmAll(n).filter(_ >= 0)
+    val coldMap = (cold ++ coldExt).toMap
+    val warmMap = warmAll ++ warmAllExt
+    val suspects = (active ++ activeExt).flatMap { n =>
+      val c = coldMap(n); val ws = warmMap(n).filter(_ >= 0)
       if (c < 0 || ws.isEmpty) None
       else if (ws.min > 1.5 * math.max(c, 0.15)) Some(s"$n:warm>1.5x-cold")
       else if (ws.max > 3.0 * math.max(ws.min, 0.15)) Some(s"$n:warm-spread>3x")
@@ -158,11 +181,44 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = warmBest.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val totalExt = warmBestExt.map(_._2).filter(_ >= 0).sum
+    val coldTotalExt = coldExt.map(_._2).filter(_ >= 0).sum
+    // Same-scale DuckDB comparison for BOTH groups, when a prior
+    // `tools/bench_oracle.py <sfDir> <outdir> ... --totals` run left its
+    // totals file for this sf dir: the ratio rides the bench artifact so
+    // the round ledger carries spark-vs-duckdb without a side channel.
+    // Stale-safety: the file records its sfDir; a mismatch drops it.
+    val duck = {
+      val p = java.nio.file.Paths.get("target/oracle_totals.json")
+      if (!java.nio.file.Files.exists(p)) ""
+      else {
+        val s = java.nio.file.Files.readString(p).trim
+        def field(k: String): Option[String] =
+          ("\"" + k + "\":\\s*([0-9.]+|\"[^\"]*\")").r
+            .findFirstMatchIn(s).map(_.group(1))
+        val sfOk = field("sf").exists(_.stripPrefix("\"").stripSuffix("\"") == sfDir)
+        (for {
+          _ <- Option.when(sfOk)(())
+          t1 <- field("group1_total"); t2 <- field("group2_total")
+        } yield {
+          val r1 = if (t1.toDouble > 0) total / t1.toDouble else -1.0
+          val r2 = if (t2.toDouble > 0) totalExt / t2.toDouble else -1.0
+          s""""duckdb_group1_total_sec":$t1,"duckdb_group2_total_sec":$t2,""" +
+          s""""spark_over_duckdb_group1":${f"$r1%.3f"},""" +
+          s""""spark_over_duckdb_group2":${f"$r2%.3f"},"""
+        }).getOrElse("")
+      }
+    }
+    val group2 =
+      s""""group2_total_sec":${f"$totalExt%.3f"},""" +
+      s""""queries2":${fmt(warmBestExt)},""" +
+      s""""group2_cold_total_sec":${f"$coldTotalExt%.3f"},""" + duck
     val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":${fmt(warmBest)},"cold_sec":${fmt(cold)},""" +
+      s""""queries":${fmt(warmBest)},"cold_sec":${fmt(cold ++ coldExt)},""" +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
-      s""""warm_passes":${fmtSeq(active.map(n => n -> warmAll(n)))},""" +
+      group2 +
+      s""""warm_passes":${fmtSeq((active ++ activeExt).map(n => n -> warmMap(n)))},""" +
       (if (only.isEmpty) "" else
         s""""subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""") +
       s""""contended":${suspects.nonEmpty},""" +
@@ -179,6 +235,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},""" +
+      group2 +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
       (if (only.isEmpty) "" else
         s""""subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""") +

@@ -988,6 +988,20 @@ object PipelineEntries {
       Multimodal.decodeVideoMotion(s,
         Multimodal.videoMediaTable(s, docs(s, dir), "doc_id"))),
 
+    // STANDARD container: per-doc animated GIFs (JDK GIF writer,
+    // write-sequence API) decoded through ImageIO's format-detecting
+    // multi-frame reader — getNumImages/read(i), zero custom framing on
+    // the read path. 256-gray frames make GIF's indexed color lossless,
+    // so the oracle restates the gray formula exactly.
+    "mm_video_gif" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(s,
+          Multimodal.gifMediaTable(s, docs(s, dir), "doc_id"))
+        .select(col("media_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("sum_v"))),
+
     // decode-IN-FLIGHT: clips arrive as a file stream (4 staged files,
     // maxFilesPerTrigger=1 -> 4 real micro-batches), every frame is
     // ImageIO-decoded inside its micro-batch via the SAME mapPartitions
@@ -3071,6 +3085,22 @@ object PipelineEntries {
            CAST(sum((doc_id*31 + f*19 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
            CAST(sum((doc_id*17 + f*23 + x*3 + y*5) % 256) AS BIGINT) AS sum_g,
            CAST(sum((doc_id*13 + f*29 + x*11 + y*3) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, f, w, h""",
+
+    // standard-GIF frames: gray(f,x,y) = the vpxR formula; GIF indexed
+    // color over the 256-gray palette is lossless, so decoded sums equal
+    // the formula exactly (all frames, no stride)
+    "mm_video_gif" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf, 6 + doc_id % 3 AS w,
+             6 + (doc_id * 5) % 3 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, tf.f AS f, tx.x AS x, ty.y AS y
+           FROM d,
+             UNNEST(generate_series(0, nf - 1)) AS tf(f),
+             UNNEST(generate_series(0, w - 1)) AS tx(x),
+             UNNEST(generate_series(0, h - 1)) AS ty(y))
+         SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id*31 + f*19 + x*7 + y*13) % 256) AS BIGINT) AS sum_v
          FROM px GROUP BY doc_id, f, w, h""",
 
     // consecutive-frame abs pixel diffs: |px(f) - px(f-1)| summed per

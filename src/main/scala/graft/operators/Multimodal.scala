@@ -419,6 +419,159 @@ object Multimodal {
       img
     }
 
+  // -------------------------------------------------------- animated GIF
+
+  /** 256-entry grayscale palette: exactly the value set of [[vpxR]], so
+    * GIF's indexed color encodes these rasters LOSSLESSLY — the same
+    * exact-oracle premise PNG gives the RGB paths. */
+  private lazy val gray256: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode the deterministic clip as a STANDARD animated GIF (multi-
+    * frame, via the JDK's GIF ImageWriter write-sequence API) — the
+    * real-container seat the custom MJPEG-style framing cannot fill.
+    * Frames are full-size 256-gray rasters with gray(f,x,y) = [[vpxR]];
+    * the explicit [[gray256]] IndexColorModel becomes the GIF color
+    * table verbatim, so no writer-side quantization can occur. */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    val (nf, w, h) = (vidFrames(id), vidW(id), vidH(id))
+    encodeGifGray(nf, w, h, (f, x, y) => vpxR(id, f, x, y))
+  }
+
+  /** Animated-GIF encode of `nf` full-size gray frames (value function
+    * in [0,255]) — content-generic so the codec round-trip property can
+    * pin losslessness for ARBITRARY gray content, not just the fixture
+    * formula. */
+  private[graft] def encodeGifGray(nf: Int, w: Int, h: Int,
+                                   gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // The JDK GIF writer defaults to INTERLACED frames; disable it —
+      // the row-reorder buys nothing for full-frame reads and the
+      // row-0-only probe below showed interlaced tiny frames decode
+      // wrong on the read side (row 1 lost on a 1x2 raster).
+      val wp = writer.getDefaultWriteParam
+      wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gray256)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray(f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), wp)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode ALL frames of a standard multi-frame image container (GIF)
+    * through the JDK's format-detecting reader — `getNumImages` /
+    * `read(i)`, no custom framing anywhere on the read path. Returns
+    * the decoded gray rasters. IOException (never null/NPE) on
+    * undecodable bytes, per the shared corrupt-media policy. */
+  private[graft] def readGifFrames(id: Long,
+                                   blob: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new java.io.IOException(s"unrecognized container for clip $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0)
+          throw new java.io.IOException(s"no frames in clip $id")
+        Array.tabulate(n)(reader.read(_))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Media table of STANDARD animated GIFs (one clip per row of `df`,
+    * keyed by non-negative long `idCol`), encoded distributed via the
+    * JDK GIF writer. Same clip geometry as [[videoMediaTable]]. */
+  def gifMediaTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("n_bytes", LongType),
+        StructField("n_frames", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val clip = encodeGif(id)
+        Row(id, clip,
+          Row("image/gif", clip.length.toLong, vidFrames(id), vidW(id), vidH(id)))
+      }
+    }(enc)
+  }
+
+  /** REAL standard-container video decode: ImageIO's multi-frame GIF
+    * reader parses the container (no custom framing), every frame is
+    * decoded and reduced to a gray pixel sum. Output one row per frame:
+    * (media_id, frame_idx, width, height, sum_v). `lenient` skips a
+    * corrupt clip atomically (the shared policy). */
+  def decodeGifFrames(spark: SparkSession, media: DataFrame,
+                      lenient: Boolean = false): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_v", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("blob")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        def all(): Iterator[Row] = {
+          val frames = readGifFrames(id, r.getAs[Array[Byte]](1))
+          Iterator.range(0, frames.length).map { f =>
+            val img = frames(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sv = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // gray raster: all three channels carry the same value
+                sv += (img.getRGB(x, y) >> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, f, w, h, sv)
+          }
+        }
+        if (!lenient) all()
+        else try all().toVector.iterator
+        catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }(enc)
+  }
+
   /** Media table of MJPEG-style clips of real PNG frames, one clip per
     * row of `df` keyed by non-negative long `idCol`. Encoding runs
     * distributed; a clip is a few KB of PNG bytes. */

@@ -94,6 +94,25 @@ object MediaCodecPropertySpec extends Properties("media-codec") {
       (badLen > pad) ==> throwsIoe(bb.array())
     }
 
+  property("animated GIF round-trips arbitrary 256-gray frames exactly") =
+    forAll(Gen.choose(1, 5), Gen.choose(1, 16), Gen.choose(1, 16), genSeed) {
+      (nf, w, h, seed) =>
+        def gray(f: Int, x: Int, y: Int): Int =
+          rgbAt(seed + f * 0x9E37L, x, y) & 0xFF
+        val blob = Multimodal.encodeGifGray(nf, w, h, gray)
+        // decode through the JDK's format-detecting multi-frame reader —
+        // the exact read path the mm_video_gif entry uses
+        val frames = Multimodal.readGifFrames(0L, blob)
+        val ok = frames.length == nf && frames.zipWithIndex.forall {
+          case (img, f) =>
+            img.getWidth == w && img.getHeight == h &&
+              (0 until h).forall(y => (0 until w).forall { x =>
+                ((img.getRGB(x, y) >> 16) & 0xFF) == gray(f, x, y)
+              })
+        }
+        ok :| s"GIF round-trip mismatch nf=$nf w=$w h=$h"
+    }
+
   property("negative count/length and truncated headers throw IOException") =
     forAll(Gen.oneOf(-1, Int.MinValue, -42)) { neg =>
       val c = java.nio.ByteBuffer.allocate(4).putInt(neg).array()

@@ -34,6 +34,13 @@ HEADLINE = [
     "ann_ivf_topk", "text_quality", "text_gopher_rules", "ext_pack_sequences",
 ]
 
+# keep in sync with graft.Bench.extended (round-16 second headline group)
+GROUP2 = [
+    "mm_features", "mm_video_frames", "mm_audio_features",
+    "route_zorder_box", "ann_int8_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_residual", "text_decontaminate_bloom", "ext_shuffle_order",
+]
+
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 try:
@@ -114,29 +121,46 @@ ONLY = set(x.strip() for x in
            os.environ.get("ORACLE_BENCH_ONLY", "").split(",") if x.strip())
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-times = {}
-for name in (n for n in HEADLINE if not ONLY or n in ONLY):
-    sql = oracle.get(name)
-    if sql is None:
-        times[name] = None
-        continue
-    try:
-        run_timed(sql)  # untimed warmup
-        best = None
-        for _ in range(passes):
-            _, dt = run_timed(sql)  # per-attempt clock (race-immune)
-            best = dt if best is None else min(best, dt)
-    except OracleTimeout:
-        times[name] = "timeout"
-        print(f"{name:28s} TIMEOUT(>{TIMEOUT_S}s)", file=sys.stderr)
-        continue
-    except Exception as e:
-        times[name] = "error"
-        print(f"{name:28s} ERROR {str(e)[:80]}", file=sys.stderr)
-        continue
-    times[name] = round(best, 3)
-    print(f"{name:28s} {best:.3f}", file=sys.stderr)
+
+
+def time_group(group):
+    times = {}
+    for name in (n for n in group if not ONLY or n in ONLY):
+        sql = oracle.get(name)
+        if sql is None:
+            times[name] = None
+            continue
+        try:
+            run_timed(sql)  # untimed warmup
+            best = None
+            for _ in range(passes):
+                _, dt = run_timed(sql)  # per-attempt clock (race-immune)
+                best = dt if best is None else min(best, dt)
+        except OracleTimeout:
+            times[name] = "timeout"
+            print(f"{name:28s} TIMEOUT(>{TIMEOUT_S}s)", file=sys.stderr)
+            continue
+        except Exception as e:
+            times[name] = "error"
+            print(f"{name:28s} ERROR {str(e)[:80]}", file=sys.stderr)
+            continue
+        times[name] = round(best, 3)
+        print(f"{name:28s} {best:.3f}", file=sys.stderr)
+    return times
+
+
+times = time_group(HEADLINE)
+times2 = time_group(GROUP2)
 
 total = sum(v for v in times.values() if isinstance(v, (int, float)))
+total2 = sum(v for v in times2.values() if isinstance(v, (int, float)))
 print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
-                  "unit": "sec", "queries": times, "sf": sfdir}))
+                  "unit": "sec", "queries": times,
+                  "group2_total": round(total2, 3), "queries2": times2,
+                  "sf": sfdir}))
+# Totals file graft.Bench embeds (spark-over-duckdb ratios in the bench
+# artifact); only meaningful when every entry of both groups was timed.
+if not ONLY:
+    with open("/root/repo/target/oracle_totals.json", "w") as f:
+        json.dump({"group1_total": round(total, 3),
+                   "group2_total": round(total2, 3), "sf": sfdir}, f)
