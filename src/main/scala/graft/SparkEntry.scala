@@ -406,6 +406,16 @@ object SparkEntry {
          "where":[{"col":"user_id","op":"between","val":[40,90]},
                   {"col":"day","op":"between","val":["2024-01-08","2024-01-12"]}]}"""),
 
+    // SPARSE In on the x dimension: {3, 77, 1399} spans nearly the whole
+    // user range, so a min-max box would cover almost every cell — the
+    // multi-box route (one per-value box, covering cells deduped) reads
+    // only the cells of the three user stripes instead
+    // (ZOrderRouter.inPoints; audited in PlanAuditSpec)
+    "route_zorder_box_in" -> dslPrepared(
+      """{"select":["event_id","user_id","value"],"from":"events",
+         "where":[{"col":"user_id","op":"in","val":[3,77,1399]},
+                  {"col":"day","op":"between","val":["2024-01-08","2024-01-12"]}]}"""),
+
     "route_user_type" -> dslPrepared(
       """{"select":["user_id",{"COUNT":"*"},{"SUM":"value"}],"from":"events",
          "group_by":["user_id"]}""",
@@ -1245,6 +1255,10 @@ object SparkEntry {
     "route_zorder_box_day" ->
       ("SELECT event_id, user_id, round(value,4) AS value FROM events " +
        "WHERE user_id BETWEEN 40 AND 90 " +
+       "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'"),
+    "route_zorder_box_in" ->
+      ("SELECT event_id, user_id, round(value,4) AS value FROM events " +
+       "WHERE user_id IN (3, 77, 1399) " +
        "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'"),
     "route_minute_rollup" ->
       s"SELECT $minuteE AS minute, round(sum(value),4) AS sum_value FROM events WHERE $dayE = DATE '2024-01-15' GROUP BY 1",

@@ -161,11 +161,40 @@ object ZOrderRouter {
     }
   }
 
-  /** Can `q` route to layout `d`? Returns the superset box if both
+  /** Per-value boxes cap: an `In` wider than this routes as one min-max
+    * box (the driver enumerates covering cells per box; 128 boxes x the
+    * y cell range stays trivially driver-sized). */
+  val MaxInBoxes = 128
+
+  /** The exact x point set admitted by the conjunction's parseable
+    * `In` conjuncts, if any: rows satisfy EVERY conjunct, so multiple
+    * In-lists intersect. An In with any unparseable literal is skipped
+    * (consistent with [[interval]]: skipping only loosens). None = no
+    * usable In conjunct — x is a band, not a point set. */
+  private def inPoints(conds: Seq[Cond], colName: String): Option[Seq[Long]] = {
+    val sets = conds.filter(c =>
+      c.col.equalsIgnoreCase(colName) && c.op == In).flatMap { c =>
+      val vs = c.values.flatMap(asLong)
+      if (vs.size == c.values.size) Some(vs.toSet) else None
+    }
+    sets.reduceOption(_ intersect _).map(_.toSeq.sorted)
+  }
+
+  /** Can `q` route to layout `d`? Returns the superset box list if both
     * dimensions are bounded by the query's conjunction — the time
     * dimension by `tsCol` conditions, derived-`day` conditions, or a mix
-    * (all tighten the same interval; each mapping is a superset). */
-  def matches(q: Query, d: ZLayoutDef): Option[Box] = {
+    * (all tighten the same interval; each mapping is a superset).
+    *
+    * A sparse `In` on the x dimension (e.g. {1, 10^9}) routes as ONE BOX
+    * PER VALUE instead of a [min,max] box that would cover nearly the
+    * whole layout: each per-value box is the same superset mapping
+    * applied to `x = v AND ts-band`, the union covers every row any
+    * combination of the original predicates admits, and the covering
+    * cells of a point-box never exceed the min-max box's (point spans
+    * are sub-intervals), so the multi-box route reads at most what the
+    * single-box route would (round-15 advice: the In min-max box could
+    * read MORE cells than the plain pruned scan). */
+  def matches(q: Query, d: ZLayoutDef): Option[Seq[Box]] = {
     if (!q.from.equalsIgnoreCase(d.sourceTable)) return None
     if (!d.exists) return None
     val conds = q.where.collect { case c: Cond => c }
@@ -179,16 +208,28 @@ object ZOrderRouter {
     for {
       x <- interval(conds, d.xCol, asLong)
       y <- interval(tsConds, d.tsCol, epochOrPassthrough)
-    } yield Box(x._1, x._2, y._1, y._2)
+    } yield inPoints(conds, d.xCol) match {
+      case Some(vs) if vs.nonEmpty && vs.size <= MaxInBoxes =>
+        // points outside the interval are excluded by some other
+        // conjunct (a cmp bound or another In) — dropping them is sound
+        val inBand = vs.filter(v => v >= x._1 && v <= x._2)
+        if (inBand.nonEmpty) inBand.map(v => Box(v, v, y._1, y._2))
+        // contradictory predicates (disjoint Ins / band excludes all
+        // points): any superset works — keep the band box; the verbatim
+        // re-predicates return the empty result either way
+        else Seq(Box(x._1, x._2, y._1, y._2))
+      case _ => Seq(Box(x._1, x._2, y._1, y._2))
+    }
   }
 
-  /** Execute `q` over the pruned box scan: covering-cell PartitionFilters
-    * from [[ZOrder.boxScan]], derived time columns restored, then the
-    * FULL original query (every predicate, aggregation, order, limit)
-    * compiled on top — the exactness anchor. */
-  def execute(spark: SparkSession, q: Query, d: ZLayoutDef, b: Box): DataFrame = {
-    val scan = ZOrder.boxScan(spark, d.path, d.xCol, SecCol,
-      b.xLo, b.xHi, b.yLo, b.yHi)
+  /** Execute `q` over the pruned multi-box scan: deduped covering-cell
+    * PartitionFilters from [[ZOrder.boxScanMulti]], derived time columns
+    * restored, then the FULL original query (every predicate,
+    * aggregation, order, limit) compiled on top — the exactness anchor. */
+  def execute(spark: SparkSession, q: Query, d: ZLayoutDef,
+              boxes: Seq[Box]): DataFrame = {
+    val scan = ZOrder.boxScanMulti(spark, d.path, d.xCol, SecCol,
+      boxes.map(b => (b.xLo, b.xHi, b.yLo, b.yHi)))
     Compiler.compileOn(spark, q, EventTime.withDerived(scan, d.tsCol))
   }
 }

@@ -205,15 +205,32 @@ object ZOrder {
     * covering-cell IN-list (PartitionFilters in the plan) + the exact
     * box predicates as residual filters. */
   def boxScan(spark: SparkSession, path: String, xCol: String, yCol: String,
-              xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+              xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
+    boxScanMulti(spark, path, xCol, yCol, Seq((xLo, xHi, yLo, yHi)))
+
+  /** Multi-box scan: covering cells are the DEDUPED union of each box's
+    * covering set, residual = the OR of the exact box predicates. Each
+    * box's covering set is a superset of that box's rows (gridCoord is
+    * monotone) and union preserves supersets, so results stay
+    * independent of the enumeration — the property that lets a sparse
+    * `IN` route as per-value boxes instead of one min-max box covering
+    * nearly the whole layout. */
+  def boxScanMulti(spark: SparkSession, path: String, xCol: String,
+                   yCol: String,
+                   boxes: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    require(boxes.nonEmpty, "boxScanMulti needs at least one box")
     val meta = readMeta(path)
-    val cells = coveringCells(meta, xLo, xHi, yLo, yHi)
+    val cells = boxes.flatMap { case (xLo, xHi, yLo, yHi) =>
+      coveringCells(meta, xLo, xHi, yLo, yHi) }.distinct.sorted
+    val residual = boxes.map { case (xLo, xHi, yLo, yHi) =>
+      col(xCol).cast("long").between(xLo, xHi) &&
+        col(yCol).cast("long").between(yLo, yHi)
+    }.reduce(_ || _)
     // ParquetNanos.read per the repo invariant: the layout is Spark-self-
     // written (micros timestamps), so footer detection is a no-op today,
     // but the layout may carry a raw ts column copied from a nanos source.
     graft.sources.ParquetNanos.read(spark, path)
       .filter(col("z_cell").isin(cells: _*))
-      .filter(col(xCol).cast("long").between(xLo, xHi) &&
-        col(yCol).cast("long").between(yLo, yHi))
+      .filter(residual)
   }
 }

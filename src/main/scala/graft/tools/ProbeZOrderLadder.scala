@@ -90,12 +90,53 @@ object ProbeZOrderLadder {
     val readBytes = cellDirs.filter(d =>
       cells(d.getName.stripPrefix("z_cell=").toLong)).map(dirBytes).sum
 
+    // ---- sparse-In ladder row (round-16): three EXISTING user ids
+    // spread across the fixture's full key range (min, first-above-
+    // midpoint, max — derived from the data so the row is meaningful at
+    // any replication factor), so the old min-max box covers nearly
+    // every cell while the multi-box mapping reads only the three user
+    // stripes. All four forms must agree on rows.
+    val inVals = {
+      val mm = raw.agg(min(col("user_id")), max(col("user_id"))).head()
+      val (uLo, uHi) = (mm.getLong(0), mm.getLong(1))
+      val uMid = raw.filter(col("user_id") >= (uLo + uHi) / 2)
+        .agg(min(col("user_id"))).head().getLong(0)
+      Seq(uLo, uMid, uHi).distinct
+    }
+    def inMultiDf = ZOrder.boxScanMulti(spark, path, "user_id", "ts_sec",
+        inVals.map(v => (v, v, t0, t1 - 1)))
+      .select(col("event_id"))
+    def inMinmaxDf = ZOrder.boxScan(spark, path, "user_id", "ts_sec",
+        inVals.min, inVals.max, t0, t1 - 1)
+      .filter(col("user_id").isin(inVals: _*))
+      .select(col("event_id"))
+    def inFilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").isin(inVals: _*) &&
+          col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .select(col("event_id"))
+    val (tInMulti, rowsInMulti) = time(() => inMultiDf)
+    val (tInMinmax, rowsInMinmax) = time(() => inMinmaxDf)
+    val (tInRaw, rowsInRaw) = time(() => inFilter(raw))
+    val (tInShuf, rowsInShuf) = time(() => inFilter(shuf))
+    require(rowsInMulti == rowsInMinmax && rowsInMulti == rowsInRaw &&
+      rowsInMulti == rowsInShuf,
+      s"In parity: multi=$rowsInMulti minmax=$rowsInMinmax raw=$rowsInRaw shuf=$rowsInShuf")
+    val inCellsMulti = inVals.flatMap(v =>
+      ZOrder.coveringCells(meta, v, v, t0, t1 - 1)).distinct.size
+    val inCellsMinmax =
+      ZOrder.coveringCells(meta, inVals.min, inVals.max, t0, t1 - 1).size
+
     val json = "{" +
       s""""metric":"zorder_ladder","label":"$label","sf":"$sfDir",""" +
       s""""rows":$rowsZ,"cells_read":${cells.size},"cells_total":${cellDirs.length},""" +
       s""""bytes_read":$readBytes,"bytes_total":$totalBytes,""" +
       f""""read_frac":${readBytes.toDouble / math.max(1L, totalBytes)}%.4f,""" +
-      f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f,"sec_shuffled_raw":$tShuf%.3f}"""
+      f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f,"sec_shuffled_raw":$tShuf%.3f,""" +
+      s""""in_rows":$rowsInMulti,"in_cells_multibox":$inCellsMulti,""" +
+      s""""in_cells_minmax":$inCellsMinmax,""" +
+      f""""sec_in_multibox":$tInMulti%.3f,"sec_in_minmax":$tInMinmax%.3f,""" +
+      f""""sec_in_raw":$tInRaw%.3f,"sec_in_shuffled_raw":$tInShuf%.3f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/zorder_ladder_$label.json"), json + "\n")
     println(json)

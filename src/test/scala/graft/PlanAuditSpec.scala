@@ -125,6 +125,54 @@ class PlanAuditSpec extends SparkSpec {
       scanEngine.executeJson(dayJson).collect().map(_.getLong(0)).toSet)
   }
 
+  test("sparse-In z route: per-value boxes, strictly fewer cells than min-max, parity") {
+    val eng = SparkEntry.preparedEngine(spark, sfDir, cacheResults = false)
+    val json =
+      """{"select":["event_id","user_id","value"],"from":"events",
+         "where":[{"col":"user_id","op":"in","val":[3,77,1399]},
+                  {"col":"day","op":"between","val":["2024-01-08","2024-01-12"]}]}"""
+    val df = eng.executeJson(json)
+    assert(eng.lastRoute == Engine.ZRouted("z_user_ts"), eng.lastRoute.toString)
+    // the router produced ONE BOX PER In VALUE, not a min-max band
+    val q = graft.dsl.QueryJson.parse(json)
+    val d = eng.zlayouts.find(_.name == "z_user_ts").get
+    val boxes = graft.engine.ZOrderRouter.matches(q, d).get
+    assert(boxes.size == 3 && boxes.forall(b => b.xLo == b.xHi),
+      boxes.toString)
+    assert(boxes.map(_.xLo).toSet == Set(3L, 77L, 1399L), boxes.toString)
+    // the deduped multi-box covering is a strict subset of the min-max
+    // box's covering — the route can never read MORE than the old
+    // single-box mapping, and on this sparse list it reads far less
+    val meta = graft.prepare.ZOrder.readMeta(d.path)
+    val multi = boxes.flatMap(b =>
+      graft.prepare.ZOrder.coveringCells(meta, b.xLo, b.xHi, b.yLo, b.yHi))
+      .distinct
+    val minmax = graft.prepare.ZOrder.coveringCells(meta,
+      boxes.map(_.xLo).min, boxes.map(_.xHi).max,
+      boxes.head.yLo, boxes.head.yHi)
+    assert(multi.toSet.subsetOf(minmax.toSet),
+      s"multi covering not contained in min-max covering")
+    assert(multi.size < minmax.size,
+      s"multi=${multi.size} cells vs minmax=${minmax.size} — no win")
+    // exactness: identical rows to the same DSL query on the raw table
+    val routed = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scanned = scanEngine.executeJson(json).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(routed === scanned)
+    assert(routed.nonEmpty, "vacuous parity: sparse-In query matched no rows")
+    // a wider-than-cap In still routes (as the min-max box): the cap
+    // bounds driver-side enumeration, never refuses the route
+    val wide = (0 to 200).map(_ * 7).mkString(",")
+    val wideJson =
+      s"""{"select":["event_id"],"from":"events",
+         "where":[{"col":"user_id","op":"in","val":[$wide]},
+                  {"col":"day","op":"eq","val":"2024-01-10"}]}"""
+    val wq = graft.dsl.QueryJson.parse(wideJson)
+    val wboxes = graft.engine.ZOrderRouter.matches(wq, d).get
+    assert(wboxes.size == 1, wboxes.toString)
+  }
+
   test("raw-table filter pushes to parquet (PushedFilters) and prunes columns") {
     val df = scanEngine.executeJson(
       """{"select":["event_id",{"COUNT":"*"}],"from":"events",
