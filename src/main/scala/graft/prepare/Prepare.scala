@@ -175,7 +175,8 @@ object Prepare {
     * concurrent reader sees the old or the new table, never a partial. */
   def refresh(spark: SparkSession, newEvents: DataFrame, outRoot: String,
               aggregates: Seq[AggTableDef] = defaultAggregates(),
-              partitionCols: Seq[String] = Seq("event_type", "day")): Unit = {
+              partitionCols: Seq[String] = Seq("event_type", "day"),
+              zorder: Seq[ZOrderSpec] = defaultZOrder): Unit = {
     val derived = EventTime.withDerived(newEvents)
     derived.write
       .mode(SaveMode.Append)
@@ -187,11 +188,29 @@ object Prepare {
       spark.sparkContext.hadoopConfiguration)
 
     // Z-ordered secondary layouts are full-row copies, so an append makes
-    // them STALE — a routed box scan would silently miss the new rows.
-    // Invalidate (delete) rather than rebuild: routing checks _zmeta.json
-    // existence and falls back to the fact scan; the next full prepare
-    // (or an explicit writeZOrdered) restores the layout.
-    fs.delete(new org.apache.hadoop.fs.Path(s"$outRoot/zorder"), true)
+    // them STALE unless the delta lands in them too. Each layout with a
+    // matching spec gets the delta APPENDED under its frozen grid
+    // (ZOrder.appendZOrdered: clamped cell assignment keeps routing
+    // exact; a 100 TB layout must never rebuild per ingest) and its
+    // fragmented cells opportunistically compacted. A layout with NO
+    // matching spec is deleted — never left stale: routing checks
+    // _zmeta.json existence and falls back to the fact scan.
+    val zRoot = new org.apache.hadoop.fs.Path(s"$outRoot/zorder")
+    val specByName = zorder.map(z => z.name -> z).toMap
+    if (fs.exists(zRoot)) fs.listStatus(zRoot).filter(_.isDirectory).foreach { d =>
+      val name = d.getPath.getName
+      val layoutPath = s"$outRoot/zorder/$name"
+      specByName.get(name) match {
+        case Some(zs) if new java.io.File(s"$layoutPath/_zmeta.json").exists() =>
+          ZOrder.appendZOrdered(spark,
+            derived.withColumn(ZOrderRouter.SecCol,
+              unix_timestamp(col(zs.tsCol))),
+            layoutPath, zs.xCol, ZOrderRouter.SecCol)
+          ZOrder.compactZOrdered(spark, layoutPath,
+            zs.xCol, ZOrderRouter.SecCol)
+        case _ => fs.delete(d.getPath, true)
+      }
+    }
 
     aggregates.foreach { d =>
       val path = s"$outRoot/aggregates/${d.name}"

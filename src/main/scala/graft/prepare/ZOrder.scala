@@ -178,6 +178,98 @@ object ZOrder {
     ()
   }
 
+  /** [[gridCoord]] with the input CLAMPED into [min, max] before the
+    * grid multiply — the Column twin of [[gridCoordL]]'s clamp. The
+    * original write never needs it (bounds come from the data), but an
+    * APPENDED delta can carry values outside the layout's frozen grid,
+    * where the raw `(v - min) * 2^bits` would overflow; clamping lands
+    * them in the edge cells, exactly where [[coveringCells]]' clamped
+    * query boxes look for them. */
+  private def gridCoordClamped(v: Column, min: Long, max: Long,
+                               bits: Int): Column =
+    gridCoord(least(lit(max), greatest(lit(min), v.cast("long"))),
+      min, max, bits)
+
+  /** Append a delta to an EXISTING z layout without a rebuild — the
+    * hourly-ingest path a 100 TB layout needs (a full rewrite per ingest
+    * is the thing [[graft.prepare.Prepare.refresh]] exists to avoid).
+    *
+    * Cells are assigned under the layout's FROZEN grid (`_zmeta.json`
+    * bounds): readers normalize with those bounds, so the grid must not
+    * move. Delta values OUTSIDE the original bounds clamp into the edge
+    * cells ([[gridCoordClamped]]); the read side clamps query-box edges
+    * identically (gridCoordL), and both clamps are monotone, so every
+    * box's covering cells still contain every box row — routing stays
+    * exact with no staleness window. One shuffle keyed by cell, fine-key
+    * sort within, append-mode write: each ingest adds at most one file
+    * per touched cell ([[compactZOrdered]] merges fragmented cells).
+    * The def markers are dropped: the layout no longer equals any single
+    * writeZOrdered definition, so the next full prepare must rebuild
+    * rather than skip. */
+  def appendZOrdered(spark: SparkSession, delta: DataFrame, path: String,
+                     xCol: String, yCol: String): Unit = {
+    val meta = readMeta(path)
+    val z = mortonCol(
+      gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
+      gridCoordClamped(col(yCol), meta.yMin, meta.yMax, FineBits))
+    delta.withColumn("__z", z)
+      .withColumn("z_cell", shiftright(col("__z"), 2 * FineBits - meta.cellBits))
+      .repartition(col("z_cell"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("append")
+      .partitionBy("z_cell")
+      .option("compression", "zstd")
+      .parquet(path)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_graft_def_")).foreach(_.delete())
+  }
+
+  /** Bin-pack fragmented cells of a z layout (the [[appendZOrdered]]
+    * counterpart of [[graft.prepare.Prepare.compact]]): any `z_cell=`
+    * directory holding more than `maxFiles` files is rewritten to
+    * ceil(bytes / targetBytes) files, RE-SORTED by the fine Morton key
+    * (recomputed under the frozen grid) so row-group min/max stay tight
+    * on both dimensions; well-packed cells are untouched. Write-new-
+    * then-rename, same atomicity discipline as the fact compactor.
+    * Returns the number of cells compacted. */
+  def compactZOrdered(spark: SparkSession, path: String,
+                      xCol: String, yCol: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      maxFiles: Int = 4): Int = {
+    val meta = readMeta(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    var compacted = 0
+    fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("z_cell=")).foreach { d =>
+      val dir = d.getPath
+      val files = fs.listStatus(dir).filter(f =>
+        f.isFile && f.getPath.getName.startsWith("part-"))
+      if (files.length > maxFiles) {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+          s".compact_${dir.getName}")
+        val z = mortonCol(
+          gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
+          gridCoordClamped(col(yCol), meta.yMin, meta.yMax, FineBits))
+        spark.read.parquet(dir.toString)
+          .withColumn("__z", z)
+          .coalesce(nOut)
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp.toString)
+        fs.delete(dir, true)
+        fs.rename(tmp, dir)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   def readMeta(path: String): ZMeta = {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$path/_zmeta.json")), "UTF-8")

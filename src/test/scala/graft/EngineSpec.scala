@@ -282,6 +282,70 @@ class EngineSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("z layout survives refresh by APPEND: no rebuild, no staleness, clamped out-of-bounds delta") {
+    import graft.prepare.{Prepare, ZOrder}
+    val src = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val half1 = src.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = src.filter(pmod(col("event_id"), lit(2)) === 1)
+    val root = "/root/repo/target/tmp/spec_zrefresh"
+    Prepare.run(spark, half1, root, zorder = Prepare.defaultZOrder)
+    val zPath = s"$root/zorder/z_user_ts"
+    val metaBefore = ZOrder.readMeta(zPath)
+    // the delta carries users OUTSIDE the base layout's frozen grid —
+    // they must clamp into edge cells, not overflow or vanish
+    val outlier = half2.limit(50)
+      .withColumn("user_id", col("user_id") + lit(10 * (metaBefore.xMax + 7)))
+    Prepare.refresh(spark, half2.unionByName(outlier), root)
+    // refreshed WITHOUT a rebuild: same frozen grid, layout still present
+    assert(new java.io.File(s"$zPath/_zmeta.json").exists(),
+      "refresh deleted the z layout instead of appending")
+    assert(ZOrder.readMeta(zPath) == metaBefore, "refresh moved the grid")
+    // the routed engine still picks the layout and sees BOTH halves
+    val eng = new graft.engine.Engine(spark,
+      graft.schema.PreparedCatalog(root), Prepare.defaultAggregates(),
+      cacheResults = false, zlayouts = Prepare.zLayoutDefs(root))
+    // sf0.001 users span 0..14 only — box sized for this fixture
+    val json =
+      """{"select":["event_id"],"from":"events",
+         "where":[{"col":"user_id","op":"between","val":[2,9]},
+                  {"col":"ts","op":"gte","val":"2024-01-05 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-01-20 00:00:00"}]}"""
+    val got = eng.executeJson(json).collect().map(_.getLong(0)).toSet
+    assert(eng.lastRoute == graft.engine.Engine.ZRouted("z_user_ts"),
+      eng.lastRoute.toString)
+    val want = src
+      .filter(col("user_id").between(2, 9) &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(got === want, s"stale routed scan: missing=${(want -- got).take(5)}")
+    assert(got.nonEmpty, "vacuous: box matched no rows")
+    // out-of-bounds delta rows are reachable through a clamped box
+    val outlierIds = outlier.select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    // lower bound well above ANY real user (half2 can hold users above
+    // half1's xMax) but below every shifted outlier user
+    val bigLo = 5L * (metaBefore.xMax + 7)
+    val jsonBig =
+      s"""{"select":["event_id"],"from":"events",
+         "where":[{"col":"user_id","op":"gte","val":$bigLo},
+                  {"col":"user_id","op":"lte","val":${20L * (metaBefore.xMax + 7)}},
+                  {"col":"ts","op":"gte","val":"2024-01-01 00:00:00"},
+                  {"col":"ts","op":"lt","val":"2024-02-15 00:00:00"}]}"""
+    val gotBig = eng.executeJson(jsonBig).collect().map(_.getLong(0)).toSet
+    assert(eng.lastRoute == graft.engine.Engine.ZRouted("z_user_ts"),
+      eng.lastRoute.toString)
+    assert(gotBig === outlierIds,
+      s"clamped rows lost: missing=${(outlierIds -- gotBig).take(5)}")
+    // repeated refreshes fragment cells; the z compactor bin-packs them
+    (1 to 4).foreach(_ => Prepare.refresh(spark, half2.limit(100), root))
+    val cellFiles = Option(new java.io.File(zPath).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("z_cell="))
+      .map(_.listFiles().count(_.getName.startsWith("part-")))
+    assert(cellFiles.forall(_ <= 4),
+      s"cells still fragmented after refresh-time compaction: ${cellFiles.max}")
+  }
+
   test("compaction bin-packs fragmented partitions without changing content") {
     import graft.prepare.Prepare
     val src = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
