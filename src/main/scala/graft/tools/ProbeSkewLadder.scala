@@ -40,6 +40,13 @@ import graft.operators.Relational
   *    because partial (map-side) aggregation already bounds
   *    per-reducer rows for algebraic aggs; recorded so the honest
   *    boundary of "when do I need salt" is measured, not asserted.
+  *  - grouped MEDIAN per user — the aggregate that actually straggles:
+  *    exact percentile is holistic (its partial buffers carry every
+  *    value, so the hot key's rows all reach one reducer's merge) vs
+  *    approx_percentile, whose bounded MERGEABLE sketch restores the
+  *    map-side compression algebraic aggs get for free. Gated on the
+  *    hot user's median agreeing within 1% before timings are trusted
+  *    (the sketch is approximate — equality is the wrong gate).
   *
   * Usage: runMain graft.tools.ProbeSkewLadder <skewDir> [label]
   */
@@ -141,6 +148,12 @@ object ProbeSkewLadder {
     def aggSalted() =
       Relational.saltedAggregate(evN, Seq("user_id"), disambig = "event_id",
         aggs = Seq(("sum", "value", "sum_value"), ("count", "event_id", "cnt")))
+    def medianExact() =
+      evN.groupBy(col("user_id"))
+        .agg(expr("percentile(value, 0.5)").as("p50"))
+    def medianSketch() =
+      evN.groupBy(col("user_id"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"))
 
     // parity before timing: each defense must return the naive result
     require(checksum(topkPlain(), "event_id") == checksum(topkSalted(), "event_id")
@@ -149,6 +162,11 @@ object ProbeSkewLadder {
         && joinPlain().count() == total, "join parity")
     require(checksum(aggPlain(), "user_id") == checksum(aggSalted(), "user_id")
         && aggPlain().count() == aggSalted().count(), "agg parity")
+    val hotP50 = Seq(medianExact(), medianSketch()).map(df =>
+      df.filter(col("user_id") === MakeSkew.HotUser)
+        .collect()(0).getDouble(1))
+    require(math.abs(hotP50(0) - hotP50(1)) <= 0.01 * math.abs(hotP50(0)),
+      s"median gate: exact=${hotP50(0)} sketch=${hotP50(1)}")
 
     val forms: Seq[(String, () => DataFrame, Map[String, String])] = Seq(
       ("topk_type_grouplimit", () => topkPlain(), Map.empty),
@@ -158,7 +176,9 @@ object ProbeSkewLadder {
       ("join_smj_aqeskew", () => joinPlain(), aqeSkewOn),
       ("join_salted", () => joinSalted(), aqeSkewOff),
       ("agg_plain", () => aggPlain(), Map.empty),
-      ("agg_salted", () => aggSalted(), Map.empty))
+      ("agg_salted", () => aggSalted(), Map.empty),
+      ("median_exact", () => medianExact(), Map.empty),
+      ("median_sketch", () => medianSketch(), Map.empty))
 
     val results = forms.map { case (name, build, confs) =>
       val (sec, maxMs, tasks, rows) = timed(build, confs)
