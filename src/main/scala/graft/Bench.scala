@@ -187,18 +187,23 @@ object Bench {
     // `tools/bench_oracle.py <sfDir> <outdir> ... --totals` run left its
     // totals file for this sf dir: the ratio rides the bench artifact so
     // the round ledger carries spark-vs-duckdb without a side channel.
-    // Stale-safety: the file records its sfDir; a mismatch drops it.
+    // Stale-safety: the file records its sfDir (mismatch drops it) and a
+    // completeness flag (a timeout/error-shrunk DuckDB total would
+    // overstate the ratio — refused). A SPARK_GRAFT_BENCH_ONLY subset
+    // run also refuses: its subset-only Spark totals against full-suite
+    // DuckDB totals would be meaningless.
     val duck = {
       val p = java.nio.file.Paths.get("target/oracle_totals.json")
-      if (!java.nio.file.Files.exists(p)) ""
+      if (!java.nio.file.Files.exists(p) || only.nonEmpty) ""
       else {
         val s = java.nio.file.Files.readString(p).trim
         def field(k: String): Option[String] =
-          ("\"" + k + "\":\\s*([0-9.]+|\"[^\"]*\")").r
+          ("\"" + k + "\":\\s*([0-9.]+|\"[^\"]*\"|true|false)").r
             .findFirstMatchIn(s).map(_.group(1))
         val sfOk = field("sf").exists(_.stripPrefix("\"").stripSuffix("\"") == sfDir)
+        val complete = field("complete").contains("true")
         (for {
-          _ <- Option.when(sfOk)(())
+          _ <- Option.when(sfOk && complete)(())
           t1 <- field("group1_total"); t2 <- field("group2_total")
         } yield {
           val r1 = if (t1.toDouble > 0) total / t1.toDouble else -1.0

@@ -253,8 +253,9 @@ object Prepare {
   /** Bin-pack fragmented partitions of the fact layout. Partition dirs
     * whose file count exceeds `maxFiles` are rewritten to
     * ceil(bytes / targetBytes) files; well-packed partitions are left
-    * untouched (compaction must not rewrite the world). Rewrite is
-    * write-new-then-rename, same atomicity as [[refresh]].
+    * untouched (compaction must not rewrite the world). Rewrite is a
+    * crash-safe backup swap with interrupted-swap recovery, shared with
+    * the z-cell compactor ([[BinPack]]).
     *
     * Streaming/incremental ingest produces one small file per micro-batch
     * per partition; at scale the file count, not the byte count, is what
@@ -265,29 +266,21 @@ object Prepare {
               maxFiles: Int = 4): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // recover interrupted swaps level-by-level DURING the walk (a
+    // half-swapped leaf is invisible to a plain listing — only its
+    // `.old_` backup remains), and never recurse into dot-prefixed
+    // backup/tmp dirs
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val entries = fs.listStatus(p).toSeq
-      val subdirs = entries.filter(_.isDirectory)
+      BinPack.recoverSwaps(fs, p)
+      val subdirs = fs.listStatus(p).toSeq.filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("."))
       if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(s => leafDirs(s.getPath))
     }
     val root = new org.apache.hadoop.fs.Path(s"$outRoot/events")
-    var compacted = 0
-    leafDirs(root).foreach { dir =>
-      val files = fs.listStatus(dir).filter(f =>
-        f.isFile && f.getPath.getName.startsWith("part-"))
-      if (files.length > maxFiles) {
-        val bytes = files.map(_.getLen).sum
-        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_${dir.getName}")
-        spark.read.parquet(dir.toString)
-          .coalesce(nOut)
-          .write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(tmp.toString)
-        fs.delete(dir, true)
-        fs.rename(tmp, dir)
-        compacted += 1
+    leafDirs(root).count { dir =>
+      BinPack.packDir(spark, fs, dir, targetBytes, maxFiles) {
+        (df, nOut) => df.coalesce(nOut)
       }
     }
-    compacted
   }
 }

@@ -230,9 +230,9 @@ object ZOrder {
     * directory holding more than `maxFiles` files is rewritten to
     * ceil(bytes / targetBytes) files, RE-SORTED by the fine Morton key
     * (recomputed under the frozen grid) so row-group min/max stay tight
-    * on both dimensions; well-packed cells are untouched. Write-new-
-    * then-rename, same atomicity discipline as the fact compactor.
-    * Returns the number of cells compacted. */
+    * on both dimensions; well-packed cells are untouched. Crash-safe
+    * swap + interrupted-swap recovery shared with the fact compactor
+    * ([[BinPack]]). Returns the number of cells compacted. */
   def compactZOrdered(spark: SparkSession, path: String,
                       xCol: String, yCol: String,
                       targetBytes: Long = 128L * 1024 * 1024,
@@ -241,33 +241,20 @@ object ZOrder {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
-    var compacted = 0
+    BinPack.recoverSwaps(fs, root)
+    val z = mortonCol(
+      gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
+      gridCoordClamped(col(yCol), meta.yMin, meta.yMax, FineBits))
     fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("z_cell=")).foreach { d =>
-      val dir = d.getPath
-      val files = fs.listStatus(dir).filter(f =>
-        f.isFile && f.getPath.getName.startsWith("part-"))
-      if (files.length > maxFiles) {
-        val bytes = files.map(_.getLen).sum
-        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
-          s".compact_${dir.getName}")
-        val z = mortonCol(
-          gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
-          gridCoordClamped(col(yCol), meta.yMin, meta.yMax, FineBits))
-        spark.read.parquet(dir.toString)
-          .withColumn("__z", z)
-          .coalesce(nOut)
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-          .write.mode("overwrite")
-          .option("compression", "zstd").parquet(tmp.toString)
-        fs.delete(dir, true)
-        fs.rename(tmp, dir)
-        compacted += 1
+      s.isDirectory && s.getPath.getName.startsWith("z_cell=")).count { d =>
+      BinPack.packDir(spark, fs, d.getPath, targetBytes, maxFiles) {
+        (df, nOut) =>
+          df.withColumn("__z", z)
+            .coalesce(nOut)
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
       }
     }
-    compacted
   }
 
   def readMeta(path: String): ZMeta = {

@@ -10,8 +10,12 @@ import graft.operators.Relational
   * form it replaces, recording WALL time and MAX TASK time — the number
   * that actually bounds a 1000-executor job, since a straggling reducer
   * holds the whole stage. Every pair is checked for result parity
-  * (count + order-independent xxhash64/bit_xor checksum) before its
-  * timings are trusted. Inputs are pre-projected and CACHED so the
+  * before its timings are trusted: counts + an order-independent
+  * bit_xor(xxhash64) checksum where the id set IS the result (top-k,
+  * join), and a measure-covering full-outer-join compare for the
+  * aggregates (exact counts, sums within relative 1e-9 — plain and
+  * salted fold doubles in different orders). Inputs are pre-projected
+  * and CACHED so the
   * timed deltas isolate the shuffle/reduce stage where the straggler
   * lives (a cold parquet scan's decode tasks otherwise cap max_task_ms
   * for every form equally and mask the reducer delta).
@@ -158,10 +162,23 @@ object ProbeSkewLadder {
     // parity before timing: each defense must return the naive result
     require(checksum(topkPlain(), "event_id") == checksum(topkSalted(), "event_id")
         && topkPlain().count() == topkSalted().count(), "topk parity")
-    require(joinPlain().count() == joinSalted().count()
-        && joinPlain().count() == total, "join parity")
-    require(checksum(aggPlain(), "user_id") == checksum(aggSalted(), "user_id")
-        && aggPlain().count() == aggSalted().count(), "agg parity")
+    val (jpRows, jsRows) = (joinPlain().count(), joinSalted().count())
+    require(jpRows == jsRows && jpRows == total, "join parity")
+    // agg parity must cover the MEASURES, not just the key set (a salt
+    // bug that double-counts partials would keep user_id/count intact):
+    // full outer join, exact cnt equality, sums within relative 1e-9
+    // (plain and salted fold in different orders — bitwise equality is
+    // the wrong gate for doubles)
+    val p = aggPlain().withColumnRenamed("sum_value", "sp")
+      .withColumnRenamed("cnt", "cp")
+    val q = aggSalted().withColumnRenamed("sum_value", "ss")
+      .withColumnRenamed("cnt", "cs")
+    val aggBad = p.join(q, Seq("user_id"), "full_outer")
+      .filter(col("cp").isNull || col("cs").isNull || col("cp") =!= col("cs")
+        || abs(col("sp") - col("ss")) > lit(1e-9) * greatest(
+             abs(col("sp")), abs(col("ss")), lit(1.0)))
+      .count()
+    require(aggBad == 0, s"agg parity: $aggBad mismatched groups")
     val hotP50 = Seq(medianExact(), medianSketch()).map(df =>
       df.filter(col("user_id") === MakeSkew.HotUser)
         .collect()(0).getDouble(1))

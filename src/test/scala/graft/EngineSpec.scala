@@ -292,8 +292,11 @@ class EngineSpec extends SparkSpec {
     val zPath = s"$root/zorder/z_user_ts"
     val metaBefore = ZOrder.readMeta(zPath)
     // the delta carries users OUTSIDE the base layout's frozen grid —
-    // they must clamp into edge cells, not overflow or vanish
-    val outlier = half2.limit(50)
+    // they must clamp into edge cells, not overflow or vanish.
+    // orderBy before limit: this frame executes in TWO separate jobs
+    // (the refresh write and the outlierIds collect below), and an
+    // unordered limit may pick different rows per execution
+    val outlier = half2.orderBy(col("event_id")).limit(50)
       .withColumn("user_id", col("user_id") + lit(10 * (metaBefore.xMax + 7)))
     Prepare.refresh(spark, half2.unionByName(outlier), root)
     // refreshed WITHOUT a rebuild: same frozen grid, layout still present
@@ -372,6 +375,40 @@ class EngineSpec extends SparkSpec {
     val b = src.agg(count(lit(1)), sum(col("value"))).collect()(0)
     assert(a.getLong(0) == b.getLong(0) &&
       math.round(a.getDouble(1) * 1e3) == math.round(b.getDouble(1) * 1e3))
+  }
+
+  test("interrupted compaction swap: recovery restores the backup, rows never lost") {
+    import graft.prepare.Prepare
+    val src = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet")
+    val root = "/root/repo/target/tmp/spec_swapcrash"
+    Prepare.run(spark, src.repartition(12), root)
+    val total = src.count()
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val subs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      if (subs.isEmpty) Seq(d) else subs.toSeq.flatMap(walk)
+    }
+    // simulate a crash INSIDE the swap window: live dir renamed to the
+    // .old_ backup, replacement never moved into place
+    val victim = walk(new java.io.File(s"$root/events"))
+      .find(_.listFiles().exists(_.getName.startsWith("part-"))).get
+    val backup = new java.io.File(victim.getParentFile, s".old_${victim.getName}")
+    assert(victim.renameTo(backup), "test setup rename failed")
+    assert(spark.read.parquet(s"$root/events").count() < total,
+      "vacuous: hiding the victim partition did not lose rows")
+    // the next compact pass must recover the backup BEFORE packing
+    Prepare.compact(spark, root, maxFiles = 4)
+    assert(!backup.exists() && victim.exists(), "swap not recovered")
+    assert(spark.read.parquet(s"$root/events").count() == total,
+      "rows lost across interrupted swap + recovery")
+    // ...and a completed-swap leftover (live present AND backup present)
+    // is cleaned without touching the live dir
+    val leftover = new java.io.File(victim.getParentFile, s".old_${victim.getName}")
+    assert(leftover.mkdir())
+    Prepare.compact(spark, root, maxFiles = 4)
+    assert(!leftover.exists() && victim.exists(),
+      "completed-swap backup not cleaned")
+    assert(spark.read.parquet(s"$root/events").count() == total)
   }
 
   test("result cache returns identical rows and hits on re-execution") {

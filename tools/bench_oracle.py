@@ -159,8 +159,17 @@ print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
                   "group2_total": round(total2, 3), "queries2": times2,
                   "sf": sfdir}))
 # Totals file graft.Bench embeds (spark-over-duckdb ratios in the bench
-# artifact); only meaningful when every entry of both groups was timed.
+# artifact). Only meaningful when every entry of both groups was timed:
+# a timeout/error/missing-SQL entry silently shrinks the DuckDB total
+# and overstates the ratio, so such runs record complete=false and
+# Bench refuses to embed them.
+excluded = sorted(n for t in (times, times2) for n, v in t.items()
+                  if not isinstance(v, (int, float)))
 if not ONLY:
     with open("/root/repo/target/oracle_totals.json", "w") as f:
         json.dump({"group1_total": round(total, 3),
-                   "group2_total": round(total2, 3), "sf": sfdir}, f)
+                   "group2_total": round(total2, 3), "sf": sfdir,
+                   "complete": not excluded, "excluded": excluded}, f)
+    if excluded:
+        print(f"totals INCOMPLETE (excluded: {', '.join(excluded)}) — "
+              "Bench will not embed ratios", file=sys.stderr)
