@@ -21,15 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ignore dot-prefixed dirs, so a half-finished swap is at worst a
   * TEMPORARILY missing partition that the next maintenance pass
   * restores; rows are never deleted before their replacement is fully
-  * written and renamed into place. */
+  * written and renamed into place.
+  *
+  * APPEND ORDERING INVARIANT (round-17, advisor finding): recovery's
+  * "live exists => swap completed, drop the backup" inference is only
+  * sound if nothing else can recreate a crashed-away live dir. An
+  * append CAN: it routes delta rows into any partition, including one
+  * whose live dir a half-finished swap left as `.old_` only —
+  * recreating `<name>` with delta-only rows, after which recovery
+  * would delete the backup and silently lose the cell's entire
+  * pre-crash row set. Every append into a swap-managed layout must
+  * therefore run [[recoverSwaps]] / [[recoverSwapsRecursive]] over the
+  * layout FIRST ([[ZOrder.appendZOrdered]], [[Prepare.refresh]]'s fact
+  * append) — then live+backup coexisting genuinely implies a completed
+  * swap and the delete branch is safe. */
 private[prepare] object BinPack {
 
   /** Restore or clean up artifacts of an interrupted [[packDir]] swap
     * under `parent`: `.old_<name>` is renamed back when `<name>` is
     * missing (crash between the two renames) and deleted when `<name>`
     * exists (crash after the swap, before backup cleanup); stale
-    * `.compact_<name>` tmp dirs are dropped. */
-  def recoverSwaps(fs: FileSystem, parent: Path): Unit =
+    * `.compact_<name>` tmp dirs are dropped. No-op when `parent` does
+    * not exist (first write to a fresh layout). */
+  def recoverSwaps(fs: FileSystem, parent: Path): Unit = {
+    if (!fs.exists(parent)) return
     fs.listStatus(parent).filter(_.isDirectory).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith(".old_")) {
@@ -40,6 +55,19 @@ private[prepare] object BinPack {
         } else fs.delete(s.getPath, true)
       } else if (n.startsWith(".compact_")) fs.delete(s.getPath, true)
     }
+  }
+
+  /** [[recoverSwaps]] at every level of a nested partition tree
+    * (event_type=/day=): the pre-append recovery walk for multi-level
+    * layouts. Recovery runs on a parent BEFORE recursing, so a
+    * just-restored dir's children are visited too. */
+  def recoverSwapsRecursive(fs: FileSystem, parent: Path): Unit = {
+    if (!fs.exists(parent)) return
+    recoverSwaps(fs, parent)
+    fs.listStatus(parent)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .foreach(s => recoverSwapsRecursive(fs, s.getPath))
+  }
 
   /** Pack one leaf dir to ceil(bytes / targetBytes) files when it holds
     * more than `maxFiles` part files; `rewrite` shapes the packed copy

@@ -209,6 +209,14 @@ object ZOrder {
   def appendZOrdered(spark: SparkSession, delta: DataFrame, path: String,
                      xCol: String, yCol: String): Unit = {
     val meta = readMeta(path)
+    // Recover interrupted compaction swaps BEFORE the append: a crashed
+    // swap leaves a cell as `.old_` only, and appending into that cell
+    // would recreate the live dir with delta-only rows — after which
+    // recovery's live-exists inference would drop the backup and lose
+    // the cell's pre-crash rows (BinPack append-ordering invariant).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    BinPack.recoverSwaps(fs, new org.apache.hadoop.fs.Path(path))
     val z = mortonCol(
       gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
       gridCoordClamped(col(yCol), meta.yMin, meta.yMax, FineBits))
