@@ -321,6 +321,30 @@ class PipelineSpec extends SparkSpec {
     assert(diffs == 0, s"$diffs pairs differ between native and composable cosine")
   }
 
+  test("native cosine on DOUBLE arrays is bit-identical to separate index-order folds") {
+    // the int8 query path (int8TopKFromCodes) scores decoded-double
+    // candidates against double-cast queries through the fused native
+    // loop; its three accumulators must equal the three SEPARATE
+    // composable folds (dot, |a|^2, |b|^2) bit-for-bit — the value
+    // contract the DuckDB oracle's list_sum restatement relies on
+    def d(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val pairs = embeddings.limit(50)
+      .select(col("vec_id").as("ida"), d(col("embedding")).as("da"))
+      .crossJoin(embeddings.limit(50)
+        .select(col("vec_id").as("idb"), d(col("embedding")).as("db")))
+      .filter(col("ida") < col("idb"))
+    val diffs = pairs.select(
+        graft.operators.Similarity.cosine(col("da"), col("db")).as("fast"),
+        (dot(col("da"), col("db")) /
+          (sqrt(dot(col("da"), col("da"))) * sqrt(dot(col("db"), col("db")))))
+          .as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diffs == 0, s"$diffs double pairs differ between fused and separate folds")
+  }
+
   test("IVF ANN beats sign-LSH recall on the same corpus") {
     val queries = embeddings.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(embeddings, queries,
