@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.MakeSkew <inDir> <outDir> [k] [hotPct]
   */
 object MakeSkew {
-  val HotUser = 777777777L
+  /** The hot key. Chosen ABOVE every replica's cold-id band for any
+    * realistic k (band r covers [r*Stride, r*Stride + maxBaseUserId];
+    * 9e17 / Stride = 9e10 replicas — unreachable), so a cold row can
+    * never collide with it. The previous 777777777 sat INSIDE replica
+    * 77's band and was collision-free only because sf0.1 base user_ids
+    * top out at 1499 (advisor round-17, low) — the build now also
+    * asserts the disjointness instead of relying on the fixture. */
+  val HotUser = 900_000_000_000_000_000L
   private val Stride = 10_000_000L
 
   def main(args: Array[String]): Unit = {
@@ -35,6 +42,12 @@ object MakeSkew {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     val base = graft.sources.ParquetNanos.read(spark, s"$inDir/events.parquet")
+    // loud disjointness contract: no cold (replica-offset) id may equal
+    // the hot key, or hot/cold rows would merge into one group and the
+    // ladder's max-task attribution would be silently wrong
+    val maxBase = base.agg(max(col("user_id"))).collect()(0).getLong(0)
+    require(k.toLong * Stride + maxBase < HotUser,
+      s"cold-id bands reach ${k.toLong * Stride + maxBase}, colliding with HotUser=$HotUser")
     val replicated = base
       .withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
       .withColumn("event_id", col("event_id") + col("__r") * lit(Stride))

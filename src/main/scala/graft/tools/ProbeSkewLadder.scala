@@ -67,7 +67,20 @@ object ProbeSkewLadder {
 
   def main(args: Array[String]): Unit = {
     val skewDir = args(0)
-    val label = if (args.length > 1) args(1) else new java.io.File(skewDir).getName
+    // label is embedded raw in the artifact JSON AND the output file
+    // name: whitelist it (advisor round-17, low — a quote/backslash
+    // would corrupt the JSON and the path). skewDir is JSON-escaped at
+    // emit time below.
+    val label = (if (args.length > 1) args(1)
+                 else new java.io.File(skewDir).getName)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    def jsonStr(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val spark = graft.GraftSession.builder("32")
       .appName("probe-skew-ladder").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -204,7 +217,7 @@ object ProbeSkewLadder {
     }
 
     val json = "{" +
-      s""""metric":"skew_ladder","label":"$label","sf":"$skewDir",""" +
+      s""""metric":"skew_ladder","label":"$label","sf":"${jsonStr(skewDir)}",""" +
       s""""rows":$total,"hot_rows":$hotRows,""" +
       f""""hot_frac":${hotRows.toDouble / total}%.4f,""" +
       s""""forms":{${results.mkString(",")}}}"""
