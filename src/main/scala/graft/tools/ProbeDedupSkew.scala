@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-family skew rung (round-16 judge, next-round #5): the blocked
+  * n-gram pipeline's adversary is a Zipf-HOT SHINGLE — one shingle held
+  * by ~20% of documents. Its posting list self-joins on a single shuffle
+  * key, so candidate generation produces O(hot^2) pair rows inside ONE
+  * task: the classic straggler the `dfCap` stop-shingle filter exists to
+  * bound. This probe measures the blocked operator WITH the cap against
+  * the same operator with the cap disabled (dfCap = MaxValue) on a
+  * fixture that contains all three populations:
+  *
+  *  - hot docs (20%): share ONE hot shingle H0 (df = n/5) — the
+  *    straggler fuel; pairwise similarity is otherwise negligible, so
+  *    verification rejects every H0-only candidate: the cap discards
+  *    work whose output is empty.
+  *  - genuine near-dup pairs (rare-shingle overlap, df=2): found by
+  *    BOTH forms — the recall the cap must not touch.
+  *  - boilerplate docs: 30 shared shingles, each ALSO held by 60
+  *    ordinary docs (df = 70 > cap) — near-dup pairs whose entire
+  *    similarity rests on above-cap shingles. The capped form has no
+  *    rare shingle to seed the candidate, so it MISSES them: the honest
+  *    boundary where the defense LOSES recall, measured not asserted.
+  *
+  * Parity gates before timings are trusted: capped pairs must be a
+  * SUBSET of uncapped pairs with identical jaccard values on the
+  * intersection; the lost set is counted and must equal the boilerplate
+  * population (the cap must lose exactly the documented class, nothing
+  * else).
+  *
+  * Usage: runMain graft.tools.ProbeDedupSkew [nDocs] [label]
+  */
+object ProbeDedupSkew {
+
+  private class MaxTask extends SparkListener {
+    private var mx = 0L
+    private var n = 0L
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      mx = math.max(mx, e.taskInfo.duration); n += 1
+    }
+    def reset(): Unit = synchronized { mx = 0L; n = 0L }
+    def snap: (Long, Long) = synchronized { (mx, n) }
+  }
+
+  // shingle-id namespaces (arbitrary longs, disjoint by construction)
+  private val Hot = 1_000_000_000L // the one hot shingle H0
+  private val BoilerBase = 2_000_000_000L // 30 boilerplate shingles
+  private val PoolBase = 5_000_000_000L // 10k mid-frequency pool
+  private val UniqBase = 10_000_000_000L // per-doc unique shingles
+  private val PairBase = 30_000_000_000L // shared uniques of near-dup pairs
+
+  private val NearDupDocs = 200L // ids < 200 pair up (2k, 2k+1)
+  private val Boilerplate = 10L // ids n..n+9
+
+  /** Synthetic signature table (id, hs): 40 uniques + 5 pool shingles
+    * per doc; 20% of docs carry H0; 30 boilerplate shingles spread over
+    * 60 ordinary docs each (df=70); ids < 200 share 35 uniques pairwise. */
+  private def makeSigs(spark: org.apache.spark.sql.SparkSession,
+                       n: Long): DataFrame = {
+    val base = spark.range(n).toDF("id")
+      .withColumn("hs", concat(
+        // uniques: near-dup pairs share 35 of 40; everyone else all-unique
+        when(col("id") < NearDupDocs,
+          concat(
+            transform(sequence(lit(0), lit(34)),
+              j => (col("id") / 2).cast("long") * 64 + j + lit(PairBase)),
+            transform(sequence(lit(35), lit(39)),
+              j => col("id") * 64 + j + lit(UniqBase))))
+          .otherwise(transform(sequence(lit(0), lit(39)),
+            j => col("id") * 64 + j + lit(UniqBase))),
+        // 5 mid-frequency pool shingles (expected df ~ 5n/10000)
+        transform(sequence(lit(0), lit(4)),
+          j => pmod(xxhash64(col("id") * 5 + j), lit(10000)) + lit(PoolBase)),
+        // the hot shingle: 20% of docs
+        when(col("id") % 5 === 0, array(lit(Hot)))
+          .otherwise(array().cast("array<long>")),
+        // boilerplate shingles sprinkled over ordinary docs: shingle k
+        // held by docs [60k, 60k+60) -> df 60 + the 10 boilerplate docs
+        when(col("id") < 30 * 60,
+          array((col("id") / 60).cast("long") + lit(BoilerBase)))
+          .otherwise(array().cast("array<long>"))))
+    val boiler = spark.range(n, n + Boilerplate).toDF("id")
+      .withColumn("hs", concat(
+        transform(sequence(lit(0), lit(29)), k => k.cast("long") + lit(BoilerBase)),
+        transform(sequence(lit(0), lit(1)),
+          j => col("id") * 64 + j + lit(UniqBase))))
+    base.unionByName(boiler)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 50000L
+    val label = (if (args.length > 1) args(1) else s"n$n")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val spark = graft.GraftSession.builder("32")
+      .appName("probe-dedup-skew").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mt = new MaxTask
+    spark.sparkContext.addSparkListener(mt)
+
+    val sigs = makeSigs(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // materialize: timings isolate the operator
+
+    def timed(dfCap: Int): (DataFrame, Double, Long, Long, Long) = {
+      val df = Dedup.ngramJaccardPairsBlockedFromSigs(sigs,
+        threshold = 0.3, dfCap = dfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mt.reset()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (maxMs, tasks) = mt.snap
+      Dedup.releaseIntermediates() // pooled persists must not leak across forms
+      (df, sec, maxMs, tasks, rows)
+    }
+
+    // warmup (JIT) on a small slice, then the two measured forms
+    Dedup.ngramJaccardPairsBlockedFromSigs(
+      sigs.filter(col("id") < 2000), threshold = 0.3, dfCap = 50).count()
+    Dedup.releaseIntermediates()
+    val (capped, capSec, capMax, capTasks, capRows) = timed(50)
+    val (uncapped, unSec, unMax, unTasks, unRows) = timed(Int.MaxValue)
+
+    // ---- parity gates -------------------------------------------------
+    val leaked = capped.join(uncapped, Seq("a_id", "b_id"), "left_anti").count()
+    require(leaked == 0,
+      s"$leaked capped pairs missing from the uncapped superset")
+    val jacBad = capped.withColumnRenamed("jaccard", "jc")
+      .join(uncapped, Seq("a_id", "b_id"))
+      .filter(col("jc") =!= col("jaccard")).count()
+    require(jacBad == 0, s"$jacBad pairs disagree on jaccard across forms")
+    val lost = uncapped.join(capped, Seq("a_id", "b_id"), "left_anti")
+    val lostRows = lost.count()
+    // the lost class must be EXACTLY the boilerplate population: every
+    // lost pair has both ids in the boilerplate band
+    val lostOutside = lost.filter(col("a_id") < n || col("b_id") < n).count()
+    require(lostOutside == 0,
+      s"$lostOutside lost pairs outside the boilerplate class — " +
+        "the cap lost recall it is not documented to lose")
+
+    val hotDf = n / 5 + (if (n % 5 > 0) 1 else 0)
+    val json = "{" +
+      s""""metric":"dedup_skew_ladder","label":"$label","n_docs":${n + Boilerplate},""" +
+      s""""hot_shingle_df":$hotDf,""" +
+      s""""forms":{""" +
+      s""""blocked_dfcap50":{"sec":${f"$capSec%.3f"},"max_task_ms":$capMax,"tasks":$capTasks,"pairs":$capRows},""" +
+      s""""blocked_nocap":{"sec":${f"$unSec%.3f"},"max_task_ms":$unMax,"tasks":$unTasks,"pairs":$unRows}},""" +
+      s""""pairs_lost_by_cap":$lostRows,""" +
+      f""""pairs_lost_frac":${if (unRows > 0) lostRows.toDouble / unRows else 0.0}%.4f,""" +
+      s""""lost_class":"boilerplate-only (similarity entirely on above-cap shingles)"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/skew_ladder_dedup_$label.json"),
+      json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
