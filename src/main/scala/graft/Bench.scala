@@ -204,7 +204,7 @@ object Bench {
         // --totals): numbers only — complete=true guarantees no
         // timeout/error strings survived
         def entryMap(k: String): Map[String, Double] =
-          ("\"" + k + "\":\\{([^}]*)\\}").r.findFirstMatchIn(s)
+          ("\"" + k + "\":\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s)
             .map(_.group(1)).toSeq
             .flatMap("\"([^\"]+)\":\\s*([0-9.]+)".r.findAllMatchIn(_)
               .map(m => m.group(1) -> m.group(2).toDouble))

@@ -99,6 +99,10 @@ object ProbeSkewLadder {
       .repartition(64).persist()
     val total = evN.count(); evJ.count()
     val hotRows = evN.filter(col("user_id") === MakeSkew.HotUser).count()
+    require(hotRows > 0,
+      s"fixture $skewDir has no rows for HotUser=${MakeSkew.HotUser} — " +
+        "it was built with an older MakeSkew hot-key constant; regenerate " +
+        "with `runMain graft.tools.MakeSkew <inDir> <outDir> [k] [hotPct]`")
     println(f"rows=$total hot=$hotRows (${hotRows.toDouble / total}%.3f)")
 
     // dim: one row per user; broadcast stays DISABLED for all join forms

@@ -122,10 +122,19 @@ object ProbeZOrderLadder {
     require(rowsInMulti == rowsInMinmax && rowsInMulti == rowsInRaw &&
       rowsInMulti == rowsInShuf,
       s"In parity: multi=$rowsInMulti minmax=$rowsInMinmax raw=$rowsInRaw shuf=$rowsInShuf")
-    val inCellsMulti = inVals.flatMap(v =>
-      ZOrder.coveringCells(meta, v, v, t0, t1 - 1)).distinct.size
-    val inCellsMinmax =
-      ZOrder.coveringCells(meta, inVals.min, inVals.max, t0, t1 - 1).size
+    val inCellsMultiSet = inVals.flatMap(v =>
+      ZOrder.coveringCells(meta, v, v, t0, t1 - 1)).distinct.toSet
+    val inCellsMinmaxSet =
+      ZOrder.coveringCells(meta, inVals.min, inVals.max, t0, t1 - 1).toSet
+    val inCellsMulti = inCellsMultiSet.size
+    val inCellsMinmax = inCellsMinmaxSet.size
+    // bytes under each covering — the DETERMINISTIC scale signal (wall
+    // time at demo layout sizes is fixed-floor-bound; the byte fraction
+    // is what a 1000-executor cluster actually reads per query)
+    def coverBytes(cs: Set[Long]): Long = cellDirs.filter(d =>
+      cs(d.getName.stripPrefix("z_cell=").toLong)).map(dirBytes).sum
+    val inBytesMulti = coverBytes(inCellsMultiSet)
+    val inBytesMinmax = coverBytes(inCellsMinmaxSet)
 
     val json = "{" +
       s""""metric":"zorder_ladder","label":"$label","sf":"$sfDir",""" +
@@ -135,6 +144,7 @@ object ProbeZOrderLadder {
       f""""sec_zbox":$tZ%.3f,"sec_raw":$tRaw%.3f,"sec_shuffled_raw":$tShuf%.3f,""" +
       s""""in_rows":$rowsInMulti,"in_cells_multibox":$inCellsMulti,""" +
       s""""in_cells_minmax":$inCellsMinmax,""" +
+      s""""in_bytes_multibox":$inBytesMulti,"in_bytes_minmax":$inBytesMinmax,""" +
       f""""sec_in_multibox":$tInMulti%.3f,"sec_in_minmax":$tInMinmax%.3f,""" +
       f""""sec_in_raw":$tInRaw%.3f,"sec_in_shuffled_raw":$tInShuf%.3f}"""
     java.nio.file.Files.writeString(
