@@ -36,7 +36,7 @@ final class Engine(
   /** Layout stamp last seen by [[execute]] — [[graft.prepare.Prepare]]
     * rewrites `_graft_version` on every run/refresh, and a stamp change
     * means every cached result and rollup may be stale. */
-  @volatile private var lastStamp: Option[String] = catalog.versionStamp
+  @volatile private var lastStamp: Option[String] = catalog.versionStamp(spark)
 
   /** Drop everything this engine caches: materialized query results and
     * the catalog's cached rollup DataFrames. After a
@@ -55,7 +55,7 @@ final class Engine(
     * Unstamped catalogs (DirCatalog, pre-stamp layouts) always return
     * None and never churn. */
   private def freshnessCheck(): Unit = {
-    val s = catalog.versionStamp
+    val s = catalog.versionStamp(spark)
     if (s != lastStamp) {
       lastStamp = s
       invalidate()

@@ -143,7 +143,7 @@ object Prepare {
       ("approx_users", statsRow.getLong(3).toString)) ++ perType
     kv.toDF("key", "value").coalesce(1).write
       .mode(SaveMode.Overwrite).parquet(s"$outRoot/stats")
-    stampVersion(outRoot)
+    stampVersion(spark, outRoot)
   }
 
   /** Rewrite `<root>/_graft_version` with a fresh nonce — the LAST step
@@ -154,11 +154,15 @@ object Prepare {
     * see the new stamp see the new data; a reader racing the stamp write
     * sees at worst the OLD stamp + old caches — the same snapshot it had
     * a moment earlier, never a torn mix. */
-  private def stampVersion(outRoot: String): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outRoot/_graft_version"),
+  private def stampVersion(spark: SparkSession, outRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outRoot/_graft_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
       s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}"
         .getBytes("UTF-8"))
+    finally out.close()
+  }
 
   // ------------------------------------------------- incremental refresh
 
@@ -267,7 +271,7 @@ object Prepare {
       ("approx_users", users.toString)) ++ perType
     kv.toDF("key", "value").coalesce(1).write
       .mode(SaveMode.Overwrite).parquet(s"$outRoot/stats")
-    stampVersion(outRoot)
+    stampVersion(spark, outRoot)
   }
 
   // ------------------------------------------------------------ compaction

@@ -58,7 +58,7 @@ trait Catalog {
     * never serve pre-refresh rows (round-16 judge finding #1). None =
     * unstamped layout (plain directories, pre-stamp layouts): no
     * auto-invalidation, explicit `Engine.invalidate()` still works. */
-  def versionStamp: Option[String] = None
+  def versionStamp(spark: SparkSession): Option[String] = None
 
   /** Drop any DataFrames/blocks this catalog caches. Default: stateless
     * catalogs have nothing to drop. */
@@ -104,13 +104,20 @@ final case class PreparedCatalog(root: String) extends Catalog {
   def hasAggregate(name: String): Boolean =
     new java.io.File(s"$root/aggregates/$name").exists()
 
-  /** `_graft_version` stamp written by Prepare.run/refresh (same local-fs
-    * idiom as `hasAggregate` / `_zmeta.json`; a cluster deployment reads
-    * through the Hadoop FileSystem). */
-  override def versionStamp: Option[String] = {
-    val f = new java.io.File(s"$root/_graft_version")
-    if (!f.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  /** `_graft_version` stamp written by Prepare.run/refresh. Read through
+    * the Hadoop FileSystem deliberately (NOT the java.io idiom
+    * `hasAggregate` uses): a silent miss on a non-local root (S3/HDFS)
+    * would mean "never invalidate" — exactly the staleness class the
+    * stamp exists to prevent — so the read must work wherever the
+    * layout lives. One small metadata read per query. */
+  override def versionStamp(spark: SparkSession): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_graft_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
   }
 
   /** Unpersist + forget every cached rollup: the next `table()` call
