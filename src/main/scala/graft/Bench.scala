@@ -192,13 +192,23 @@ object Bench {
     // overstate the ratio — refused). A SPARK_GRAFT_BENCH_ONLY subset
     // run also refuses: its subset-only Spark totals against full-suite
     // DuckDB totals would be meaningless.
-    val duck = {
+    // duck._1 = full embed (per-entry DuckDB + ratio maps) for the DETAIL
+    // file; duck._2 = scalar totals/ratios only for STDOUT. Round-17
+    // lesson (BENCH_r17 parsed:null): the four per-entry maps pushed the
+    // single stdout line past the driver's output-tail window, truncating
+    // its HEAD — the driver artifact lost the headline number entirely.
+    // Per-entry maps therefore live ONLY in target/bench_detail.json.
+    val duck: (String, String) = {
       val p = java.nio.file.Paths.get("target/oracle_totals.json")
-      if (!java.nio.file.Files.exists(p) || only.nonEmpty) ""
+      if (!java.nio.file.Files.exists(p) || only.nonEmpty) ("", "")
       else {
         val s = java.nio.file.Files.readString(p).trim
+        // number pattern covers exponent notation: python json.dump emits
+        // e.g. 1e-05 for very small per-entry times, and a bare [0-9.]+
+        // would parse that as 1.0 — silently corrupting the embedded ratio
+        val num = "-?[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
         def field(k: String): Option[String] =
-          ("\"" + k + "\":\\s*([0-9.]+|\"[^\"]*\"|true|false)").r
+          ("\"" + k + "\":\\s*(" + num + "|\"[^\"]*\"|true|false)").r
             .findFirstMatchIn(s).map(_.group(1))
         // flat per-entry map ("queries1"/"queries2" from bench_oracle.py
         // --totals): numbers only — complete=true guarantees no
@@ -206,7 +216,7 @@ object Bench {
         def entryMap(k: String): Map[String, Double] =
           ("\"" + k + "\":\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s)
             .map(_.group(1)).toSeq
-            .flatMap("\"([^\"]+)\":\\s*([0-9.]+)".r.findAllMatchIn(_)
+            .flatMap(("\"([^\"]+)\":\\s*(" + num + ")").r.findAllMatchIn(_)
               .map(m => m.group(1) -> m.group(2).toDouble))
             .toMap
         val sfOk = field("sf").exists(_.stripPrefix("\"").stripSuffix("\"") == sfDir)
@@ -235,16 +245,20 @@ object Bench {
                 d2.get(n).map(n -> _) })},""" +
               s""""ratio_queries":${fmt(ratios(warmBest, d1))},""" +
               s""""ratio_queries2":${fmt(ratios(warmBestExt, d2))},"""
-          s""""duckdb_group1_total_sec":$t1,"duckdb_group2_total_sec":$t2,""" +
-          s""""spark_over_duckdb_group1":${f"$r1%.3f"},""" +
-          s""""spark_over_duckdb_group2":${f"$r2%.3f"},""" + perEntry
-        }).getOrElse("")
+          val scalars =
+            s""""duckdb_group1_total_sec":$t1,"duckdb_group2_total_sec":$t2,""" +
+            s""""spark_over_duckdb_group1":${f"$r1%.3f"},""" +
+            s""""spark_over_duckdb_group2":${f"$r2%.3f"},"""
+          (scalars + perEntry, scalars)
+        }).getOrElse(("", ""))
       }
     }
-    val group2 =
+    def group2Of(duckPart: String) =
       s""""group2_total_sec":${f"$totalExt%.3f"},""" +
       s""""queries2":${fmt(warmBestExt)},""" +
-      s""""group2_cold_total_sec":${f"$coldTotalExt%.3f"},""" + duck
+      s""""group2_cold_total_sec":${f"$coldTotalExt%.3f"},""" + duckPart
+    val group2 = group2Of(duck._1)
+    val group2Compact = group2Of(duck._2)
     val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},"cold_sec":${fmt(cold ++ coldExt)},""" +
@@ -267,7 +281,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(warmBest)},""" +
-      group2 +
+      group2Compact +
       s""""cold_total_sec":${f"$coldTotal%.3f"},"prepare_sec":${f"$prepareSec%.3f"},""" +
       (if (only.isEmpty) "" else
         s""""subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""") +

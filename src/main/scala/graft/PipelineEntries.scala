@@ -198,10 +198,23 @@ object PipelineEntries {
     * (`ivf_centroids`, `ivf_buckets`); the per-query cost is nprobe
     * bucket joins + exact re-rank. Centroids are nlist x dim — bounded
     * driver state by contract, collected from the written table. */
+  // NOT computeIfAbsent, for all three trained-state memos below: the
+  // build closures run Spark actions and re-enter artifact() (and could
+  // re-enter EACH OTHER from a future artifact build), and a nested
+  // re-entry inside a ConcurrentHashMap mapping function throws
+  // IllegalStateException("Recursive update") or livelocks. Same
+  // get + reentrant-synchronized-build + put discipline as artifact()
+  // itself, on the same lock (reentrant, so artifact() calls inside the
+  // build are safe).
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Seq[Float]], DataFrame)]
-  private def ivfIndex(s: SparkSession, dir: String): (Array[Seq[Float]], DataFrame) =
-    ivfMemo.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+  private def ivfIndex(s: SparkSession, dir: String): (Array[Seq[Float]], DataFrame) = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val hit = ivfMemo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = ivfMemo.get(key)
+      if (again != null) return again
       val centDf = artifact(s, dir, "ivf_centroids") {
         val trained = Similarity.ivfTrain(embeddings(s, dir),
           "vec_id", "embedding", nlist = 16, iters = 3)
@@ -214,8 +227,11 @@ object PipelineEntries {
       val bucketed = artifact(s, dir, "ivf_buckets")(
         Similarity.ivfBucketedCorpus(embeddings(s, dir),
           "vec_id", "embedding", cent))
-      (cent, bucketed)
-    })
+      val v = (cent, bucketed)
+      ivfMemo.put(key, v)
+      v
+    }
+  }
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
 
@@ -230,27 +246,33 @@ object PipelineEntries {
   private val residualCbMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Array[Double]]]]
   private def residualCodebooks(s: SparkSession, dir: String,
-                                cent: Array[Seq[Float]]): Array[Array[Array[Double]]] =
-    residualCbMemo.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir, _ => {
-        val cbDf = artifact(s, dir, "residual_codebooks") {
-          val trained = graft.operators.Quantization.trainResidualCodebooks(
-            embeddings(s, dir), "vec_id", "embedding", cent,
-            m = 8, kCodes = 16, iters = 3)
-          import s.implicits._
-          trained.zipWithIndex.flatMap { case (sub, si) =>
-            sub.zipWithIndex.map { case (cw, j) => (si, j, cw.toSeq) }
-          }.toSeq.toDF("s", "j", "cent")
-        }
-        val rows = cbDf.collect()
-        val m = rows.map(_.getInt(0)).max + 1
-        val kk = rows.map(_.getInt(1)).max + 1
-        val out = Array.ofDim[Array[Double]](m, kk)
-        rows.foreach { r =>
-          out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-        }
-        out
-      })
+                                cent: Array[Seq[Float]]): Array[Array[Array[Double]]] = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val hit = residualCbMemo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = residualCbMemo.get(key)
+      if (again != null) return again
+      val cbDf = artifact(s, dir, "residual_codebooks") {
+        val trained = graft.operators.Quantization.trainResidualCodebooks(
+          embeddings(s, dir), "vec_id", "embedding", cent,
+          m = 8, kCodes = 16, iters = 3)
+        import s.implicits._
+        trained.zipWithIndex.flatMap { case (sub, si) =>
+          sub.zipWithIndex.map { case (cw, j) => (si, j, cw.toSeq) }
+        }.toSeq.toDF("s", "j", "cent")
+      }
+      val rows = cbDf.collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val kk = rows.map(_.getInt(1)).max + 1
+      val out = Array.ofDim[Array[Double]](m, kk)
+      rows.foreach { r =>
+        out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      residualCbMemo.put(key, out)
+      out
+    }
+  }
 
   /** Int8 scalar-quantization index: per-dim (min, max) ranges and the
     * ENCODED CODE COLUMN, both parquet-persisted at artifact-build time
@@ -265,8 +287,13 @@ object PipelineEntries {
     * the write/read round trip is bit-exact). */
   private val int8Memo = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[(Double, Double)], DataFrame)]
-  private def int8Index(s: SparkSession, dir: String): (Array[(Double, Double)], DataFrame) =
-    int8Memo.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+  private def int8Index(s: SparkSession, dir: String): (Array[(Double, Double)], DataFrame) = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val hit = int8Memo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = int8Memo.get(key)
+      if (again != null) return again
       val rangeDf = artifact(s, dir, "int8_ranges") {
         val tr = graft.operators.Quantization.trainRanges(
           embeddings(s, dir), "embedding")
@@ -281,8 +308,11 @@ object PipelineEntries {
         embeddings(s, dir).select(col("vec_id").as("n_id"),
           graft.operators.Quantization.encode(col("embedding"), ranges)
             .as("codes")))
-      (ranges, codes)
-    })
+      val v = (ranges, codes)
+      int8Memo.put(key, v)
+      v
+    }
+  }
 
   /** Hash-sharded greedy sequence packing over (doc_id, lang, n_tokens):
     * route each doc to a deterministic shard (portable md5-56 of doc_id

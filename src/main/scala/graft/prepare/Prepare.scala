@@ -196,8 +196,12 @@ object Prepare {
               aggregates: Seq[AggTableDef] = defaultAggregates(),
               partitionCols: Seq[String] = Seq("event_type", "day"),
               zorder: Seq[ZOrderSpec] = defaultZOrder): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // FS from the ROOT PATH, not FileSystem.get(conf): the default FS can
+    // differ in scheme from outRoot (local default vs an s3a:// root), and
+    // the recovery walk would then throw Wrong-FS instead of recovering —
+    // the same non-local-root hazard Catalog.versionStamp documents.
+    val fs = new org.apache.hadoop.fs.Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Recover interrupted compaction swaps BEFORE appending: an append
     // into a partition whose live dir a crashed [[compact]] swap left as
     // `.old_`-only would recreate the live dir with delta-only rows,
@@ -290,8 +294,9 @@ object Prepare {
   def compact(spark: SparkSession, outRoot: String,
               targetBytes: Long = 128L * 1024 * 1024,
               maxFiles: Int = 4): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path-derived FS (see refresh): the walk must run on outRoot's FS
+    val fs = new org.apache.hadoop.fs.Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recover interrupted swaps level-by-level DURING the walk (a
     // half-swapped leaf is invisible to a plain listing — only its
     // `.old_` backup remains), and never recurse into dot-prefixed

@@ -214,8 +214,10 @@ object ZOrder {
     // would recreate the live dir with delta-only rows — after which
     // recovery's live-exists inference would drop the backup and lose
     // the cell's pre-crash rows (BinPack append-ordering invariant).
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // FS from the layout path, not the default FS (Wrong-FS on non-local
+    // roots otherwise — the Catalog.versionStamp idiom)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     BinPack.recoverSwaps(fs, new org.apache.hadoop.fs.Path(path))
     val z = mortonCol(
       gridCoordClamped(col(xCol), meta.xMin, meta.xMax, FineBits),
@@ -246,8 +248,9 @@ object ZOrder {
                       targetBytes: Long = 128L * 1024 * 1024,
                       maxFiles: Int = 4): Int = {
     val meta = readMeta(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path-derived FS (see appendZOrdered)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     BinPack.recoverSwaps(fs, root)
     val z = mortonCol(

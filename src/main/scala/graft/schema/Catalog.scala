@@ -123,7 +123,17 @@ final case class PreparedCatalog(root: String) extends Catalog {
   /** Unpersist + forget every cached rollup: the next `table()` call
     * re-reads the swapped parquet with a FRESH file listing, so neither
     * stale InMemoryRelation blocks nor a stale file index can survive a
-    * [[graft.prepare.Prepare.refresh]]. */
+    * [[graft.prepare.Prepare.refresh]].
+    *
+    * The unpersist is NON-BLOCKING, so a routed query in flight at this
+    * moment can lose its cached blocks and recompute against aggregate
+    * parquet the refresh just swapped — a mixed read or a
+    * FileNotFoundException. This is the documented refresh-under-load
+    * boundary (see [[graft.engine.Engine]]'s concurrency contract):
+    * completed results are era-consistent via stamp-keyed caching;
+    * in-flight scans during the swap window are not snapshot-isolated.
+    * Quiesce around refresh, or treat transient scan failures in that
+    * window as retryable. */
   override def invalidate(spark: SparkSession): Unit = {
     aggCache.values.foreach(df => df.unpersist(blocking = false))
     aggCache.clear()

@@ -78,8 +78,10 @@ class MediaInteropSpec extends SparkSpec {
     var raw = 0L
     for (y <- 0 until h; x <- 0 until w)
       raw += img.getRaster.getSample(x, y, 0)
-    assert(raw == expected(("png_gray.png", "sum_r")),
-      s"raster-level gray sum: got $raw want ${expected(("png_gray.png", "sum_r"))}")
+    // pinned as raster_sum, NOT sum_r/g/b: the CSV field names must never
+    // suggest decodeFeatures (getRGB, post-ICC) reproduces the raw raster
+    assert(raw == expected(("png_gray.png", "raster_sum")),
+      s"raster-level gray sum: got $raw want ${expected(("png_gray.png", "raster_sum"))}")
     val (df, _) = mediaDf(Seq("png_gray.png"))
     val r = Multimodal.decodeFeatures(spark, df).collect()(0)
     assert(r.getLong(4) == r.getLong(5) && r.getLong(5) == r.getLong(6),

@@ -65,9 +65,15 @@ for y in range(H):
         row.append(v)
     rows.append(bytes(row))
 open(f"{OUT}/png_gray.png", "wb").write(png(0, W, H, rows))
+# RASTER-level pins, deliberately NOT named sum_r/g/b: a color-type-0 PNG
+# decodes to TYPE_BYTE_GRAY whose raster samples are the exact codec
+# values, but the production decodeFeatures path (getRGB) applies the
+# linear-gray -> sRGB ICC transform, so its channel sums do NOT equal the
+# raw sample sum. MediaInteropSpec pins the raster sum against
+# raster_sum and checks decodeFeatures' channel-equality contract
+# separately (the interop finding this fixture documents).
 expected += [("png_gray.png", "width", W), ("png_gray.png", "height", H),
-             ("png_gray.png", "sum_r", sv), ("png_gray.png", "sum_g", sv),
-             ("png_gray.png", "sum_b", sv)]
+             ("png_gray.png", "raster_sum", sv)]
 
 # ---- png_palette.png: color type 3 with a PLTE chunk ------------------
 W, H = 8, 8
