@@ -716,6 +716,24 @@ object PipelineEntries {
         threshold = 0.3, dfCap = 10,
         docFreq = Some(docShingleDf(s, dir)))),
 
+    // the df-cap's measured honest boundary (round-17 hot-shingle rung):
+    // pairs whose similarity lives ONLY on above-cap shingles — the
+    // boilerplate class (navigation chrome, license headers) — are
+    // invisible to the capped generator. This pass recovers them:
+    // bucket docs by their exact above-cap shingle PROFILE, verify true
+    // jaccard within buckets. blocked ∪ stop_profile covers both sides
+    // of a cap; this entry's cap is 5 (not blocked's 10) because the
+    // sf0.01 corpus has NO df>10 shingle at all — a cap-10 twin would be
+    // trivially-green 0 rows, exactly the weak-check class the gates
+    // exist to avoid (measured: cap 5 → 13 verified rep pairs at
+    // sf0.01, 241 at sf0.1). The shared shingle_df artifact is
+    // cap-agnostic (raw rep-based counts; the operator applies the cap),
+    // so both entries read the same prepare-once table.
+    "dedup_stop_profile" -> ((s, dir) =>
+      Dedup.stopProfilePairsFromSigs(docSigs(s, dir),
+        threshold = 0.3, dfCap = 5,
+        docFreq = Some(docShingleDf(s, dir)), bucketCap = 1000)),
+
     // exact sliding-window substring dup at arbitrary alignment —
     // catches cross-offset spans that dedup_chunks' aligned chunks miss
     "dedup_substrings" -> ((s, dir) =>
@@ -2423,6 +2441,64 @@ object PipelineEntries {
                   WHERE c BETWEEN 2 AND 10),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id),
+         wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
+                 FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+                             JOIN sh sb ON sb.doc_id = c.b_id),
+         reppairs AS (
+           SELECT a_id, b_id,
+             round(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+               / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))), 4)
+               AS jaccard
+           FROM wsh
+           WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+               / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= 0.3),
+         internal AS (
+           SELECT ma.doc_id AS a_id, mb.doc_id AS b_id,
+             CAST(1.0 AS DOUBLE) AS jaccard
+           FROM dg ma JOIN dg mb ON ma.g = mb.g AND ma.doc_id < mb.doc_id),
+         crossp AS (
+           SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+                  greatest(ma.doc_id, mb.doc_id) AS b_id, p.jaccard
+           FROM reppairs p
+           JOIN dg ra ON ra.doc_id = p.a_id
+           JOIN dg rb ON rb.doc_id = p.b_id
+           JOIN dg ma ON ma.g = ra.g
+           JOIN dg mb ON mb.g = rb.g)
+         SELECT a_id, b_id, jaccard FROM internal
+         UNION ALL SELECT a_id, b_id, jaccard FROM crossp""",
+
+    // stop-profile boilerplate pass: candidates are buckets of documents
+    // with IDENTICAL above-cap shingle profiles (df over reps, c > 5,
+    // bucket size 2..1000), verification and replica expansion identical
+    // to dedup_ngram_blocked. Profile equality over string shingles here
+    // equals profile equality over hashed shingles on the Spark side
+    // (the hash is injective w.h.p., and both sides canonicalize by
+    // sorting within their own domain).
+    "dedup_stop_profile" ->
+      """WITH dg AS (SELECT doc_id, md5(text) AS g FROM documents),
+         grp AS (SELECT g, min(doc_id) AS rep FROM dg GROUP BY 1),
+         toks AS (
+           SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+             x -> x <> '') AS t
+           FROM documents d JOIN grp ON grp.rep = d.doc_id),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         dfc AS (SELECT s, count(*) AS c FROM inv GROUP BY s),
+         stops AS (
+           SELECT inv.doc_id, list_sort(list(inv.s)) AS stop
+           FROM inv JOIN dfc USING (s) WHERE dfc.c > 5
+           GROUP BY inv.doc_id),
+         sized AS (SELECT stop FROM stops GROUP BY stop
+                   HAVING count(*) BETWEEN 2 AND 1000),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM stops a JOIN stops b
+                    ON a.stop = b.stop AND a.doc_id < b.doc_id
+                  JOIN sized ON sized.stop = a.stop),
          wsh AS (SELECT c.a_id, c.b_id, sa.sh AS a_sh, sb.sh AS b_sh
                  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
                              JOIN sh sb ON sb.doc_id = c.b_id),

@@ -14,8 +14,15 @@ object Verify {
     // run — used for the O(N^2) verification BASELINES (and their
     // equally quadratic oracles) when dumping large scale fixtures
     // (sf1+), where the scale-path entries remain fully checked.
-    val skip = sys.env.getOrElse("GRAFT_VERIFY_SKIP", "")
+    val skipEnv = sys.env.getOrElse("GRAFT_VERIFY_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // GRAFT_VERIFY_ONLY: dev knob — run just these entries (and restrict
+    // oracle_sql.json to them) for fast single-entry oracle iteration.
+    // The driver never sets it; an unset value is the full run.
+    val only = sys.env.getOrElse("GRAFT_VERIFY_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val skip: Set[String] =
+      if (only.nonEmpty) SparkEntry.queries.keySet.diff(only) else skipEnv
     // Per-entry wall seconds (plan + execute + write): verify already runs
     // every entry, so recording times here closes the perf blind spot on
     // the ~150 entries the bench headline never touches — diffed

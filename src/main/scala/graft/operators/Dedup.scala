@@ -828,9 +828,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
 
-    // ---- expansion back over replica groups ---------------------------
-    // same shape as the minhash pre-pass: groups are disjoint, so the
-    // union is duplicate-free.
+    // expansion back over replica groups (shared with the stop-profile
+    // pass): groups are disjoint, so the union is duplicate-free.
+    expandRepPairs(repPairs, rep, members)
+  }
+
+  /** Expand a REPRESENTATIVES-ONLY verified pair table back over
+    * exact-replica groups: within-group pairs are exact replicas
+    * (jaccard 1.0 by set identity), cross-group member pairs inherit
+    * their representatives' jaccard (identical shingle sets). Groups are
+    * disjoint, so the union is duplicate-free — the same expansion shape
+    * the minhash pre-pass uses inline. `rep` = (g, id, cnt) and
+    * `members` = (g, id) from [[repSignatures]]/[[withSetDigest]]. */
+  private def expandRepPairs(repPairs: DataFrame, rep: DataFrame,
+                             members: DataFrame): DataFrame = {
     val dupGroups = rep.filter(col("cnt") >= 2).select(col("g"))
     val internal = members.join(dupGroups.hint("shuffle_hash"), "g")
       .select(col("g"), col("id").as("xa"))
@@ -848,6 +859,90 @@ object Dedup {
       .select(least(col("xa"), col("xb")).as("a_id"),
         greatest(col("xa"), col("xb")).as("b_id"), col("jaccard"))
     internal.unionByName(cross)
+  }
+
+  /** Boilerplate-class near-dup pass — the complement of
+    * [[ngramJaccardPairsBlockedFromSigs]]'s df-cap blocking. The cap's
+    * measured honest boundary (round-17 hot-shingle rung,
+    * BASELINE_MEASURED): a pair whose similarity lives ONLY on above-cap
+    * shingles — the boilerplate class every web-scale corpus has
+    * (navigation chrome, license headers, templated notices) — has no
+    * rare shingle to seed a candidate, so the capped generator provably
+    * misses it. This pass recovers exactly that class WITHOUT re-opening
+    * the hot-posting-list quadratic the cap exists to bound: candidates
+    * come from grouping documents by their exact above-cap shingle
+    * PROFILE (the sorted set of this doc's df>dfCap shingles — already a
+    * by-product of the blocked path's df classification), then verifying
+    * TRUE jaccard over full shingle sets within each profile bucket.
+    * Boilerplate families share the template verbatim, so their members
+    * land in ONE bucket; a lone hot shingle's 20%-of-corpus posting list
+    * lands in one bucket too, but is excluded by `bucketCap` (and its
+    * members would fail verification anyway — sharing one shingle is not
+    * similarity).
+    *
+    * Scale contract, stated honestly: a profile shared by more than
+    * `bucketCap` documents generates NO pairs here. For a true
+    * boilerplate family that large the pair set is quadratic in the
+    * family size BY DEFINITION — the right product at that scale is the
+    * family itself (bucket id as a cluster key), not its pair expansion.
+    * Everything else is linear: one df classification (shared artifact),
+    * one groupBy to build profiles, one self-join keyed by profile
+    * digest whose fan-out is capped at bucketCap.
+    *
+    * Same exact-replica rep collapse + expansion as the blocked pass
+    * (df counted over distinct-text representatives; within-group pairs
+    * at jaccard 1.0; cross-group member pairs inherit the rep pair's
+    * jaccard). The oracle restates the identical contract over string
+    * shingles — profile equality is hash-independent. */
+  def stopProfilePairsFromSigs(sigs: DataFrame,
+                               threshold: Double = 0.3,
+                               dfCap: Int = 50,
+                               docFreq: Option[DataFrame] = None,
+                               bucketCap: Int = 1000): DataFrame = {
+    val withG = withSetDigest(sigs)
+    val (rep, repSigs) = repSignatures(withG)
+    val members = withG.select(col("g"), col("id"))
+    val hs = repSigs.select(col("id"), col("hs"))
+    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
+    // df over representatives (the blocked contract's basis); callers
+    // with a prepare-once [[shingleDocFreq]] artifact pass it in
+    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
+    // per-rep stop profile: the SORTED array of this doc's above-cap
+    // shingle hashes (inner join ⇒ only docs with a non-empty profile
+    // survive; stop vocab is tiny by construction, so profiles are
+    // small arrays). Digest to a compact join key.
+    val stops = inv
+      .join(dfc.filter(col("c") > dfCap).select(col("g")).hint("shuffle_hash"),
+        Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("g"))).as("stop"))
+    val keyed = pooledPersist(stops.select(col("id"),
+      md5(to_binary(concat_ws(",", col("stop").cast("array<string>")),
+        lit("utf-8"))).as("bk")))
+    // buckets of 2..bucketCap members pair up; both the size aggregate
+    // and the self-join key on the 16-byte digest, never the profile
+    val sized = keyed.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= bucketCap)
+      .select(col("bk"))
+    val inBucket = keyed.join(sized.hint("shuffle_hash"), "bk")
+    val cand = inBucket.select(col("bk"), col("id").as("a_id"))
+      .join(inBucket.select(col("bk"), col("id").as("b_id"))
+        .hint("shuffle_hash"), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // exact verification over FULL shingle sets (precision is never
+    // blocking-dependent): candidates join the signature arrays, the
+    // native fused jaccard scores each pair
+    val aSh = hs.select(col("id").as("a_id"), col("hs").as("a_sh"))
+    val bSh = hs.select(col("id").as("b_id"), col("hs").as("b_sh"))
+    val repPairs = cand.join(aSh.hint("shuffle_hash"), "a_id")
+      .join(bSh.hint("shuffle_hash"), "b_id")
+      .withColumn("jaccard", graft.functions.JaccardSimilarity.jaccardNative(
+        col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+    expandRepPairs(repPairs, rep, members)
   }
 
   /** Exact-recall prefix-filtered Jaccard pairs (the PPJoin family,

@@ -51,6 +51,63 @@ class JaccardSpec extends SparkSpec {
     assert(viaPlan.toSeq === Seq(2.0 / 6.0, 1.0))
   }
 
+  test("stop-profile pass recovers the boilerplate class the df-cap provably loses") {
+    // Fixture shaped like ProbeDedupSkew's adversarial mix, shrunk:
+    //  - boilerplate family (ids 100..105): 30 shared shingles whose df
+    //    (6) exceeds the cap (3) — similarity entirely on above-cap
+    //    shingles, so the blocked generator has no rare seed and MISSES
+    //    every pair; plus 2 uniques each.
+    //  - a rare-shingle near-dup pair (200, 201): found by blocked,
+    //    profile-empty so the stop-profile pass correctly ignores it.
+    //  - a hot single-shingle population (300..311, all holding shingle
+    //    50): profile {50} buckets 12 > bucketCap=10 docs — excluded,
+    //    the quadratic the cap exists to bound stays bounded.
+    //  - an exact replica (106 == 105): the rep collapse + expansion
+    //    must surface it at jaccard 1.0.
+    def uniq(id: Long, k: Int): Seq[Long] = (0 until k).map(j => id * 64 + j + 100000L)
+    val boiler = (100L to 105L).map(id => (id, (1L to 30L) ++ uniq(id, 2)))
+    val replica = Seq((106L, (1L to 30L) ++ uniq(105L, 2)))
+    val rare = Seq(
+      (200L, (900L to 934L) ++ uniq(200L, 5)),
+      (201L, (900L to 934L) ++ uniq(201L, 5)))
+    val hot = (300L to 311L).map(id => (id, Seq(50L) ++ uniq(id, 40)))
+    val sigs = (boiler ++ replica ++ rare ++ hot).toDF("id", "hs")
+
+    val exhaustive = Dedup.ngramJaccardPairsFromSigs(sigs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = Dedup.ngramJaccardPairsBlockedFromSigs(sigs,
+      threshold = 0.3, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sp = Dedup.stopProfilePairsFromSigs(sigs,
+      threshold = 0.3, dfCap = 3, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val boilerIds = (100L to 106L).toSet
+    val boilerPairs = exhaustive.keySet.filter(p =>
+      boilerIds(p._1) && boilerIds(p._2))
+    assert(boilerPairs.size === 21, s"fixture: ${boilerPairs.size}") // C(7,2)
+    // the documented blind spot: of the family, blocked reports ONLY the
+    // exact-replica pair (its rep expansion covers identical text) —
+    // every near-but-not-identical pair is invisible to it
+    assert(blocked.keySet.intersect(boilerPairs) === Set((105L, 106L)))
+    // ...and the rare pair, which blocked does find
+    assert(blocked.contains((200L, 201L)))
+    // the stop-profile pass recovers the family EXACTLY (same jaccard
+    // as the exhaustive ground truth), ignores the profile-empty rare
+    // pair, and stays out of the over-cap hot bucket
+    assert(boilerPairs.subsetOf(sp.keySet))
+    boilerPairs.foreach(p => assert(sp(p) === exhaustive(p), p.toString))
+    assert(!sp.contains((200L, 201L)))
+    assert(sp.keySet.forall(p => p._1 < 300L && p._2 < 300L),
+      "hot bucket leaked past bucketCap")
+    // precision: everything it reports is in the exhaustive truth with
+    // the identical jaccard
+    assert(sp.keySet.subsetOf(exhaustive.keySet))
+    sp.foreach { case (p, j) => assert(exhaustive(p) === j, p.toString) }
+    // the replica surfaced through collapse + expansion
+    assert(sp((105L, 106L)) === 1.0)
+  }
+
   test("signatures + FromSigs variants equal the text-based operators") {
     val docs = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
     val sigs = Dedup.signatures(docs, "doc_id", "text", 3)
