@@ -108,6 +108,24 @@ class JaccardSpec extends SparkSpec {
     assert(sp((105L, 106L)) === 1.0)
   }
 
+  test("stage auto-select is output-invariant: direct, staged, and auto forms agree") {
+    // staging is a materialization choice, never a semantics choice —
+    // the auto-select (plan-stats bytes per core, Dedup.autoStage) must
+    // be free to pick either form without changing a single pair
+    val docs = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
+    val sigs = Dedup.signatures(docs, "doc_id", "text", 3)
+    def pairs(stage: Option[Boolean]) =
+      Dedup.minhashPairsFromSigs(sigs, numHashes = 32, rowsPerBand = 2,
+        threshold = 0.5, stage = stage)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairs(Some(false))
+    assert(direct === pairs(Some(true)))
+    assert(direct === pairs(None))
+    assert(direct.nonEmpty)
+    // this box sits far under the crossover: auto must pick direct here
+    assert(!Dedup.autoStage(sigs))
+  }
+
   test("signatures + FromSigs variants equal the text-based operators") {
     val docs = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
     val sigs = Dedup.signatures(docs, "doc_id", "text", 3)
