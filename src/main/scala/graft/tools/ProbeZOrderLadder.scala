@@ -46,6 +46,25 @@ import graft.prepare.ZOrder
   */
 object ProbeZOrderLadder {
 
+  /** Actual scan I/O per timed form (TaskEnd input metrics): the number
+    * that separates "bytes under the covering" (the listing/open/task
+    * bill) from bytes the parquet reader REALLY decodes after row-group
+    * stats pruning inside each cell — a z-sorted cell is precisely the
+    * layout where min/max stats prune best, so the two can differ by
+    * orders of magnitude and only a measurement tells the honest story. */
+  private class IoMeter extends org.apache.spark.scheduler.SparkListener {
+    private var bytes = 0L
+    private var records = 0L
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        bytes += e.taskMetrics.inputMetrics.bytesRead
+        records += e.taskMetrics.inputMetrics.recordsRead
+      }
+    def reset(): Unit = synchronized { bytes = 0L; records = 0L }
+    def snap: (Long, Long) = synchronized { (bytes, records) }
+  }
+
   private def dropCaches(): Unit = {
     import scala.sys.process._
     require((Seq("sh", "-c",
@@ -69,7 +88,11 @@ object ProbeZOrderLadder {
       if (repl == 1) rawBase
       else {
         val stride = 10000000L // MakeSfN.Stride: disjoint key universes
-        val r = rawBase.withColumn("__r",
+        // repartition BEFORE the explode: the single-file source scans as
+        // a handful of partitions, and the 10^9-row generation would
+        // otherwise run inside those few tasks (measured: one core busy,
+        // 12+ min without reaching the shuffle)
+        val r = rawBase.repartition(64).withColumn("__r",
           explode(sequence(lit(0L), lit(repl - 1L))))
         Seq("event_id", "user_id").foldLeft(r) { (d, c) =>
           d.withColumn(c, (col(c) + col("__r") * lit(stride)).cast(
@@ -106,16 +129,27 @@ object ProbeZOrderLadder {
     def rawDf = boxFilter(raw)
     def shufDf = boxFilter(shuf)
 
-    def time(build: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    val io = new IoMeter
+    spark.sparkContext.addSparkListener(io)
+    // (form label -> (actual bytes read, records read)) of the LAST
+    // timed pass per form — the stats-pruned truth behind the walls
+    val ioByForm = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def timeIo(label: String)(
+        build: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val rows = build().queryExecution.toRdd.count() // untimed JIT/plan warm
       val best = (1 to 3).map { _ =>
         if (cold) dropCaches() // every timed pass pays REAL I/O
+        io.reset()
         val s = System.nanoTime()
         build().queryExecution.toRdd.count()
-        (System.nanoTime() - s) / 1e9
+        val t = (System.nanoTime() - s) / 1e9
+        ioByForm(label) = io.snap
+        t
       }.min
       (best, rows)
     }
+    def time(build: () => org.apache.spark.sql.DataFrame): (Double, Long) =
+      timeIo("_")(build)
     val (tZ, rowsZ, tRaw, tShuf) =
       if (inOnly) (-1.0, -1L, -1.0, -1.0)
       else {
@@ -163,8 +197,8 @@ object ProbeZOrderLadder {
           col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
         .select(col("event_id"))
-    val (tInMulti, rowsInMulti) = time(() => inMultiDf)
-    val (tInMinmax, rowsInMinmax) = time(() => inMinmaxDf)
+    val (tInMulti, rowsInMulti) = timeIo("in_multibox")(() => inMultiDf)
+    val (tInMinmax, rowsInMinmax) = timeIo("in_minmax")(() => inMinmaxDf)
     // at REPL>1 `raw` is an in-memory explode, not parquet — a row-parity
     // baseline, not an I/O baseline; its timing is recorded as such
     val (tInRaw, rowsInRaw) = time(() => inFilter(raw))
@@ -198,7 +232,11 @@ object ProbeZOrderLadder {
       s""""in_cells_minmax":$inCellsMinmax,""" +
       s""""in_bytes_multibox":$inBytesMulti,"in_bytes_minmax":$inBytesMinmax,""" +
       f""""sec_in_multibox":$tInMulti%.3f,"sec_in_minmax":$tInMinmax%.3f,""" +
-      f""""sec_in_raw":$tInRaw%.3f,"sec_in_shuffled_raw":$tInShuf%.3f}"""
+      f""""sec_in_raw":$tInRaw%.3f,"sec_in_shuffled_raw":$tInShuf%.3f,""" +
+      s""""io_actual_bytes_multibox":${ioByForm.get("in_multibox").map(_._1).getOrElse(-1L)},""" +
+      s""""io_actual_records_multibox":${ioByForm.get("in_multibox").map(_._2).getOrElse(-1L)},""" +
+      s""""io_actual_bytes_minmax":${ioByForm.get("in_minmax").map(_._1).getOrElse(-1L)},""" +
+      s""""io_actual_records_minmax":${ioByForm.get("in_minmax").map(_._2).getOrElse(-1L)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/zorder_ladder_$label.json"), json + "\n")
     println(json)
