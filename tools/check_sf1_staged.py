@@ -115,6 +115,16 @@ entry("dedup_materialize", """
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM clusters05 WHERE id <> cluster_id)""")
 
+# triangles (a<b<c) over the ordered edge list — each wedge (a-b, b-c)
+# closed by probing the third edge (a,c); the monolithic twin re-derives
+# pairs05 from raw text, which crossed the 240 s budget on the round-18
+# (slower-band) box
+entry("graph_triangles", """
+SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+FROM pairs05 e1
+JOIN pairs05 e2 ON e2.a_id = e1.b_id
+JOIN pairs05 e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""")
+
 entry("graph_pagerank", """
 WITH edges AS (SELECT a_id AS src, b_id AS dst FROM pairs05
                UNION ALL SELECT b_id, a_id FROM pairs05),
