@@ -734,6 +734,16 @@ object PipelineEntries {
         threshold = 0.3, dfCap = 5,
         docFreq = Some(docShingleDf(s, dir)), bucketCap = 1000)),
 
+    // the family-level product the stop-profile pass's scale contract
+    // prescribes for above-bucketCap boilerplate families (their pair
+    // expansion is quadratic BY DEFINITION): the family itself —
+    // (family_id = min member doc id, doc_id, family_size), linear at
+    // any family size, no self-join, no cap, no lost mass. Same dfCap=5
+    // basis and shared shingle_df artifact as dedup_stop_profile.
+    "dedup_stop_profile_families" -> ((s, dir) =>
+      Dedup.stopProfileFamilies(docSigs(s, dir), dfCap = 5,
+        docFreq = Some(docShingleDf(s, dir)))),
+
     // exact sliding-window substring dup at arbitrary alignment —
     // catches cross-offset spans that dedup_chunks' aligned chunks miss
     "dedup_substrings" -> ((s, dir) =>
@@ -2524,6 +2534,39 @@ object PipelineEntries {
            JOIN dg mb ON mb.g = rb.g)
          SELECT a_id, b_id, jaccard FROM internal
          UNION ALL SELECT a_id, b_id, jaccard FROM crossp""",
+
+    // family-level stop-profile product: group member docs by their
+    // representative's above-cap shingle profile (df over reps, c > 5),
+    // families of >= 2 members; family_id = min member doc id is the
+    // hash-independent cluster key both sides derive identically.
+    "dedup_stop_profile_families" ->
+      """WITH dg AS (SELECT doc_id, md5(text) AS g FROM documents),
+         grp AS (SELECT g, min(doc_id) AS rep FROM dg GROUP BY 1),
+         toks AS (
+           SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+             x -> x <> '') AS t
+           FROM documents d JOIN grp ON grp.rep = d.doc_id),
+         sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM toks),
+         inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         dfc AS (SELECT s, count(*) AS c FROM inv GROUP BY s),
+         stops AS (
+           SELECT inv.doc_id, list_sort(list(inv.s)) AS stop
+           FROM inv JOIN dfc USING (s) WHERE dfc.c > 5
+           GROUP BY inv.doc_id),
+         memb AS (
+           SELECT m.doc_id AS doc_id, st.stop AS stop
+           FROM dg m JOIN grp ON grp.g = m.g
+           JOIN stops st ON st.doc_id = grp.rep),
+         fam AS (
+           SELECT stop, min(doc_id) AS family_id, count(*) AS family_size
+           FROM memb GROUP BY stop HAVING count(*) >= 2)
+         SELECT f.family_id, m.doc_id, f.family_size
+         FROM memb m JOIN fam f ON f.stop = m.stop""",
 
     "dedup_prefix" ->
       """WITH toks AS (

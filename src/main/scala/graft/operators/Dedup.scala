@@ -977,6 +977,57 @@ object Dedup {
     expandRepPairs(repPairs, rep, members)
   }
 
+  /** Family-level product of the stop-profile pass — the scale contract
+    * [[stopProfilePairsFromSigs]] documents: a boilerplate family larger
+    * than its `bucketCap` has a pair expansion quadratic in the family
+    * size BY DEFINITION, so the right at-scale product is the family
+    * itself, not its pairs. One row per member document of each family
+    * (docs whose exact-replica representative carries an IDENTICAL
+    * non-empty above-cap shingle profile): `(family_id, doc_id,
+    * family_size)` with `family_id = min member doc id` — a
+    * hash-independent cluster key both engines derive identically, so
+    * the DuckDB twin needs no access to the hash domain. Linear at ANY
+    * family size: one df classification (the shared prepare-once
+    * [[shingleDocFreq]] artifact), one profile groupBy, one count
+    * aggregate, one bucket re-join — no self-join, no cap, no lost
+    * mass. Downstream keeps one doc per family (or runs the pair pass
+    * within a family when it needs per-pair jaccard) without ever
+    * materializing O(n^2) pairs. */
+  def stopProfileFamilies(sigs: DataFrame,
+                          dfCap: Int = 50,
+                          docFreq: Option[DataFrame] = None): DataFrame = {
+    val withG = withSetDigest(sigs)
+    val (rep, repSigs) = repSignatures(withG)
+    val hs = repSigs.select(col("id"), col("hs"))
+    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
+    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
+    // per-rep stop profile, digested — same construction as the pair
+    // pass (a digest collision here would merge two families, P ~ 2^-128
+    // over md5 of the canonical sorted profile — the same w.h.p.
+    // injectivity the hashed-shingle profiles already rely on)
+    val stops = inv
+      .join(dfc.filter(col("c") > dfCap).select(col("g")).hint("shuffle_hash"),
+        Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("g"))).as("stop"))
+    val keyed = stops.select(col("id").as("rid"),
+      md5(to_binary(concat_ws(",", col("stop").cast("array<string>")),
+        lit("utf-8"))).as("bk"))
+    // members inherit their representative's profile bucket (replica
+    // members share the rep's shingle set, hence its profile)
+    val memberBk = pooledPersist(withG.select(col("g"), col("id"))
+      .join(rep.select(col("g"), col("id").as("rid")).hint("shuffle_hash"),
+        Seq("g"))
+      .join(keyed.hint("shuffle_hash"), Seq("rid"))
+      .select(col("id"), col("bk")))
+    val fam = memberBk.groupBy(col("bk"))
+      .agg(min(col("id")).as("family_id"), count(lit(1)).as("family_size"))
+      .filter(col("family_size") >= 2)
+    memberBk.join(fam.hint("shuffle_hash"), Seq("bk"))
+      .select(col("family_id"), col("id").as("doc_id"),
+        col("family_size"))
+  }
+
   /** Exact-recall prefix-filtered Jaccard pairs (the PPJoin family,
     * Xiao et al. WWW'08): candidates are pairs sharing at least one
     * shingle in each other's PREFIX — the first |X| - ceil(t*|X|) + 1

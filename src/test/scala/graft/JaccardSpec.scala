@@ -108,6 +108,39 @@ class JaccardSpec extends SparkSpec {
     assert(sp((105L, 106L)) === 1.0)
   }
 
+  test("stop-profile families surface boilerplate clusters linearly, including above-bucketCap") {
+    // same adversarial fixture as the recovery test above; the contract
+    // under test is the pair pass's documented scale boundary — a family
+    // larger than bucketCap generates NO pairs there, and the FAMILY
+    // product is what covers it: linear rows, no pair expansion.
+    def uniq(id: Long, k: Int): Seq[Long] = (0 until k).map(j => id * 64 + j + 100000L)
+    val boiler = (100L to 105L).map(id => (id, (1L to 30L) ++ uniq(id, 2)))
+    val replica = Seq((106L, (1L to 30L) ++ uniq(105L, 2)))
+    val rare = Seq(
+      (200L, (900L to 934L) ++ uniq(200L, 5)),
+      (201L, (900L to 934L) ++ uniq(201L, 5)))
+    val hot = (300L to 311L).map(id => (id, Seq(50L) ++ uniq(id, 40)))
+    val sigs = (boiler ++ replica ++ rare ++ hot).toDF("id", "hs")
+
+    val fams = Dedup.stopProfileFamilies(sigs, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // boilerplate family (ids 100..106, replica expanded): one family,
+    // keyed by its min member id, every member row carrying size 7
+    val fam100 = fams.filter(_._1 == 100L)
+    assert(fam100.map(_._2).toSet === (100L to 106L).toSet)
+    assert(fam100.forall(_._3 == 7L))
+    // the 12-doc hot bucket (profile {50}) exceeds the pair pass's
+    // bucketCap=10 — invisible there BY CONTRACT, one linear family here
+    val fam300 = fams.filter(_._1 == 300L)
+    assert(fam300.map(_._2).toSet === (300L to 311L).toSet)
+    assert(fam300.forall(_._3 == 12L))
+    // the rare near-dup pair's shared shingles sit AT/below the cap
+    // (df 2 <= 3): profile-empty, correctly absent from the family view
+    assert(!fams.exists(t => t._2 == 200L || t._2 == 201L))
+    assert(fams.map(_._1).toSet === Set(100L, 300L))
+  }
+
   test("stage auto-select is output-invariant: direct, staged, and auto forms agree") {
     // staging is a materialization choice, never a semantics choice —
     // the auto-select (plan-stats bytes per core, Dedup.autoStage) must
