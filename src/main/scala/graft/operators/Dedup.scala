@@ -943,8 +943,16 @@ object Dedup {
     // shingle hashes (inner join ⇒ only docs with a non-empty profile
     // survive; stop vocab is tiny by construction, so profiles are
     // small arrays). Digest to a compact join key.
+    // BROADCAST the stop vocab, never shuffle on g: above-cap shingles
+    // are FEW by definition (the Zipf head; vocab <= occurrences/dfCap,
+    // 8 bytes each) while their posting lists are the corpus's LARGEST —
+    // a shuffle_hash join here keys tens of millions of inv rows onto a
+    // handful of g values and drags the per-id partial aggregation into
+    // the skewed post-shuffle stage (measured: 80 s max task at a
+    // 1M-member family, ProbeStopFamilies round-18; broadcast keeps the
+    // whole pass per-doc-parallel).
     val stops = inv
-      .join(dfc.filter(col("c") > dfCap).select(col("g")).hint("shuffle_hash"),
+      .join(broadcast(dfc.filter(col("c") > dfCap).select(col("g"))),
         Seq("g"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("g"))).as("stop"))
@@ -1004,9 +1012,15 @@ object Dedup {
     // per-rep stop profile, digested — same construction as the pair
     // pass (a digest collision here would merge two families, P ~ 2^-128
     // over md5 of the canonical sorted profile — the same w.h.p.
-    // injectivity the hashed-shingle profiles already rely on)
+    // injectivity the hashed-shingle profiles already rely on).
+    // Stop vocab BROADCAST, never shuffled on g — see the pair pass:
+    // the vocab is the Zipf head (few rows) while its posting lists are
+    // the corpus's largest, so a g-keyed shuffle concentrates them plus
+    // the per-id partial agg into a handful of tasks (measured at a
+    // 1M-member family: 148.9 s wall / 80.5 s max task with the
+    // g-shuffle, 8.8 s / 2.1 s with the broadcast).
     val stops = inv
-      .join(dfc.filter(col("c") > dfCap).select(col("g")).hint("shuffle_hash"),
+      .join(broadcast(dfc.filter(col("c") > dfCap).select(col("g"))),
         Seq("g"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("g"))).as("stop"))
