@@ -722,4 +722,47 @@ class PlanAuditSpec extends SparkSpec {
     val vacuous = filterLines.filter(_.contains("split(lower(text")).toSeq
     assert(vacuous.isEmpty, s"tokenizer inside Filter:\n${vacuous.mkString("\n").take(2000)}")
   }
+
+  test("stop-profile passes broadcast the stop vocab, never shuffle on the Zipf-head key") {
+    // round-18 1M-family rung: a g-keyed shuffle of the above-cap
+    // posting lists funneled 30M+ inv rows onto ~30 Zipf-head keys and
+    // dragged the per-id partial agg into the skewed stage (148.9 s /
+    // 80.5 s max task; 8.8 s / 2.1 s after the broadcast). The vocab
+    // join key is the LONG shingle hash `g` (the set-digest join also
+    // uses a column named g, but STRING-typed — the type disambiguates).
+    // Static plan carries the strategy decision (round-12 lesson: walk
+    // join nodes, never grep sparkPlan for exchanges).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.LongType
+    def longG(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.size == 1 && keys.head.dataType == LongType &&
+        keys.head.references.exists(_.name == "g")
+    // the vocab join sits under pooledPersist intermediates, so it hides
+    // inside InMemoryRelation subtrees — recurse through cachedPlan or
+    // the walk is vacuous (the round-12 lesson's cached-relation variant)
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case i: InMemoryTableScanExec => nodes(i.relation.cachedPlan)
+        // cached relations compile eagerly with AQE: their cachedPlan is
+        // an AdaptiveSparkPlanExec whose physical tree is NOT in children
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Nil
+      })
+    for (q <- Seq("dedup_stop_profile", "dedup_stop_profile_families")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val all = nodes(plan)
+      val broadcastG = all.collect {
+        case b: BroadcastHashJoinExec if longG(b.leftKeys) => b }
+      assert(broadcastG.nonEmpty,
+        s"$q: no broadcast join on the long shingle key g —\n$plan")
+      val shuffledG = all.collect {
+        case s: ShuffledHashJoinExec if longG(s.leftKeys) => s
+        case s: SortMergeJoinExec if longG(s.leftKeys) => s }
+      assert(shuffledG.isEmpty,
+        s"$q: the stop-vocab join regressed to a g-keyed shuffle —\n$plan")
+    }
+  }
 }
