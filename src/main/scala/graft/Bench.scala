@@ -43,6 +43,32 @@ import org.apache.spark.sql.SparkSession
   * Operator-internal persists are dropped (Dedup.releaseIntermediates)
   * between pipeline passes so repeated invocations measure the operator,
   * not the accumulation. */
+/** Minimal extractor over `tools/bench_oracle.py --totals` output
+  * (target/oracle_totals.json). Extracted from the bench main so the
+  * number pattern is unit-testable: python's json.dump emits exponent
+  * notation (e.g. `1e-05`) for very small per-entry DuckDB times, and
+  * the pre-round-18 `[0-9.]+` pattern parsed that as `1.0` — silently
+  * corrupting the embedded spark-over-duckdb ratio for that entry
+  * (round-18 advisor; pinned by OracleTotalsSpec). */
+private[graft] object OracleTotals {
+  private val Num = "-?[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
+
+  /** Scalar field: number (incl. exponent form), quoted string, or bool. */
+  def field(s: String, k: String): Option[String] =
+    ("\"" + k + "\":\\s*(" + Num + "|\"[^\"]*\"|true|false)").r
+      .findFirstMatchIn(s).map(_.group(1))
+
+  /** Flat per-entry map ("queries1"/"queries2"): numbers only —
+    * the totals file's complete=true guarantees no timeout/error
+    * strings survived into the maps. */
+  def entryMap(s: String, k: String): Map[String, Double] =
+    ("\"" + k + "\":\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap(("\"([^\"]+)\":\\s*(" + Num + ")").r.findAllMatchIn(_)
+        .map(m => m.group(1) -> m.group(2).toDouble))
+      .toMap
+}
+
 object Bench {
 
   /** Relational / routing / join / window headline set — measured first,
@@ -203,22 +229,8 @@ object Bench {
       if (!java.nio.file.Files.exists(p) || only.nonEmpty) ("", "")
       else {
         val s = java.nio.file.Files.readString(p).trim
-        // number pattern covers exponent notation: python json.dump emits
-        // e.g. 1e-05 for very small per-entry times, and a bare [0-9.]+
-        // would parse that as 1.0 — silently corrupting the embedded ratio
-        val num = "-?[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
-        def field(k: String): Option[String] =
-          ("\"" + k + "\":\\s*(" + num + "|\"[^\"]*\"|true|false)").r
-            .findFirstMatchIn(s).map(_.group(1))
-        // flat per-entry map ("queries1"/"queries2" from bench_oracle.py
-        // --totals): numbers only — complete=true guarantees no
-        // timeout/error strings survived
-        def entryMap(k: String): Map[String, Double] =
-          ("\"" + k + "\":\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s)
-            .map(_.group(1)).toSeq
-            .flatMap(("\"([^\"]+)\":\\s*(" + num + ")").r.findAllMatchIn(_)
-              .map(m => m.group(1) -> m.group(2).toDouble))
-            .toMap
+        def field(k: String): Option[String] = OracleTotals.field(s, k)
+        def entryMap(k: String): Map[String, Double] = OracleTotals.entryMap(s, k)
         val sfOk = field("sf").exists(_.stripPrefix("\"").stripSuffix("\"") == sfDir)
         val complete = field("complete").contains("true")
         (for {

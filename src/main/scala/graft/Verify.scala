@@ -21,6 +21,18 @@ object Verify {
     // The driver never sets it; an unset value is the full run.
     val only = sys.env.getOrElse("GRAFT_VERIFY_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // A typo'd ONLY must fail LOUDLY: unknown names would make skip the
+    // full key set and the run would verify nothing while exiting green
+    // (advisor, round 18). Same check for SKIP — a typo there silently
+    // verifies an entry the caller believed excluded.
+    val unknownOnly = only.diff(SparkEntry.queries.keySet)
+    require(unknownOnly.isEmpty,
+      s"GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknownOnly.mkString(",")}")
+    val unknownSkip = skipEnv.diff(SparkEntry.queries.keySet)
+    require(unknownSkip.isEmpty,
+      s"GRAFT_VERIFY_SKIP names not in SparkEntry.queries: ${unknownSkip.mkString(",")}")
+    if (only.nonEmpty && skipEnv.nonEmpty)
+      System.err.println("[verify] GRAFT_VERIFY_ONLY set: GRAFT_VERIFY_SKIP is ignored")
     val skip: Set[String] =
       if (only.nonEmpty) SparkEntry.queries.keySet.diff(only) else skipEnv
     // Per-entry wall seconds (plan + execute + write): verify already runs

@@ -137,7 +137,15 @@ final class Engine(
             Compiler.compile(spark, q, catalog)
         }
     }
-    if (cacheResults) cache.put(spark, key, df) else df
+    // A put that raced a refresh lands under the OLD era's stamp key —
+    // never servable (no post-refresh lookup can observe that key), but
+    // it would linger in the LRU displacing live entries until natural
+    // eviction. Drop the put when the stamp has already moved on
+    // (another query's freshnessCheck advanced lastStamp and cleared the
+    // cache); the computed result is still returned (advisor, round 18).
+    if (cacheResults && observedStamp == lastStamp)
+      cache.put(spark, key, df)
+    else df
   }
 
   def executeJson(json: String): DataFrame = execute(QueryJson.parse(json))

@@ -810,8 +810,13 @@ object Dedup {
     // profile consume it — one corpus-scale aggregation pass instead of
     // two. Either supplied by the caller as a prepare-once artifact
     // ([[shingleDocFreq]]) or persisted here per invocation (pooled,
-    // reclaimed by [[releaseIntermediates]]).
-    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(sigs)))
+    // reclaimed by [[releaseIntermediates]]). Fallback df is over
+    // repSigs, matching the documented rep-df contract above and the
+    // stop-profile passes — df over raw sigs would count replicas, and
+    // on a replica-heavy corpus every shingle would blow the cap
+    // (candidate-set collapse) while the supplied-artifact path stayed
+    // rep-based (advisor, round 18).
+    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
     // ONE classified inverted-index pass: join the df table once keeping
     // c (df=1 shingles can never be shared — dropped here), persist, and
     // derive BOTH the rare-candidate branch and the stop-profile branch
