@@ -327,11 +327,46 @@ object Quantization {
     trainPq(residTrain, idCol, vecCol, m, kCodes, iters)
   }
 
+  /** The corpus side of a residual IVF+PQ index: `(n_id, bucket, codes)`
+    * — nearest IVF bucket + residual PQ codes per vector. Assign once,
+    * encode once, persist/write: at scale the ADC scan reads this narrow
+    * code table, never the float vectors (the `int8_codes` discipline
+    * applied to residual PQ). */
+  def residualCodedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[Seq[Float]],
+                          codebooks: Array[Array[Array[Double]]]): DataFrame =
+    residualized(
+        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_v",
+        centroids)
+      .withColumn("codes", encodePq(col("resid"), codebooks))
+      .select(col("n_id"), col("bucket"), col("codes"))
+
   /** [[ivfPqResidualTopK]] from pre-trained state (IVF centroids +
     * residual codebooks) — index training is prepare-phase work persisted
-    * once per corpus; the per-query plan assigns/encodes/ADC-scores from
-    * plan-literal state only. */
+    * once per corpus; the corpus is assigned+encoded inline and handed to
+    * [[ivfPqResidualTopKFromCodes]]. Callers that persist the coded
+    * corpus too ([[residualCodedCorpus]]) should call FromCodes directly:
+    * per-query cost is then an ADC scan of the code column + exact
+    * re-rank of refine*k survivors only. */
   def ivfPqResidualTopKFromIndex(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 centroids: Array[Seq[Float]],
+                                 codebooks: Array[Array[Array[Double]]],
+                                 nprobe: Int = 4, refine: Int = 4): DataFrame =
+    ivfPqResidualTopKFromCodes(
+      residualCodedCorpus(corpus, idCol, vecCol, centroids, codebooks),
+      corpus, queries, idCol, vecCol, k, centroids, codebooks, nprobe, refine)
+
+  /** Residual IVF+PQ query path over a PERSISTED coded corpus
+    * ([[residualCodedCorpus]]): probe nprobe buckets, residual-ADC score
+    * candidates from codes alone (never touching float vectors), then
+    * exact-cosine re-rank ONLY the refine*k shortlist by joining the
+    * survivors back to the float table (broadcast shortlist — the
+    * [[int8TopKFromCodes]] re-rank shape). Identical output to the
+    * inline-encode form: the shortlist is a function of (codes, query)
+    * only, and the re-rank cosine reads the same float rows. */
+  def ivfPqResidualTopKFromCodes(coded: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame,
                                  idCol: String, vecCol: String, k: Int,
                                  centroids: Array[Seq[Float]],
                                  codebooks: Array[Array[Array[Double]]],
@@ -342,12 +377,6 @@ object Quantization {
     val dsub = dim / m
     val centLit = typedlit(centroids.map(_.map(_.toDouble)).toSeq)
     val kk = codebooks(0).length
-
-    val coded = residualized(
-        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_v",
-        centroids)
-      .withColumn("codes", encodePq(col("resid"), codebooks))
-      .select(col("n_id"), col("n_v"), col("bucket"), col("codes"))
 
     val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
     val cbNorm = typedlit(centroids.map(_.map(x => x.toDouble * x).sum).toSeq)
@@ -392,10 +421,24 @@ object Quantization {
             element_at(cbNorm, col("bucket") + 1)
               + lit(2.0) * fold(col("codes"), element_at(bLut, col("bucket") + 1))
               + fold(col("codes"), normLut))))
+    rerankShortlist(scored, corpus, idCol, vecCol, k, refine)
+  }
+
+  /** Exact-cosine re-rank of the per-query ADC shortlist: float vectors
+    * are read ONLY for the refine*k survivors — broadcast the
+    * (|queries| x refine*k)-row shortlist, stream the float table past
+    * it (the [[int8TopKFromCodes]] re-rank; shared by both FromCodes
+    * query paths). */
+  private def rerankShortlist(scored: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              k: Int, refine: Int): DataFrame = {
     val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
         Seq(("adc", true), ("n_id", false)), refine * k)
+      .select(col("q_id"), col("q_v"), col("n_id"))
+    val reranked = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .join(broadcast(shortlist), Seq("n_id"))
       .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
-    Relational.topKPerGroup(shortlist, Seq("q_id"),
+    Relational.topKPerGroup(reranked, Seq("q_id"),
         Seq(("cosine", true), ("n_id", false)), k)
       .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
   }
@@ -411,10 +454,36 @@ object Quantization {
                 m: Int = 8, kCodes: Int = 16, refine: Int = 4): DataFrame = {
     val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist)
     val codebooks = trainPq(corpus, idCol, vecCol, m, kCodes)
-    val kk = codebooks(0).length
-    val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    ivfPqTopKFromCodes(
+      pqCodedCorpus(corpus, idCol, vecCol, centroids, codebooks),
+      corpus, queries, idCol, vecCol, k, centroids, codebooks, nprobe, refine)
+  }
+
+  /** The corpus side of an IVF+PQ index: `(n_id, bucket, codes)` —
+    * nearest IVF bucket + PQ codes per vector. Assign once, encode once,
+    * persist/write: at scale the ADC scan reads this narrow code table,
+    * never the float vectors. */
+  def pqCodedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Seq[Float]],
+                    codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
       .withColumn("bucket", Similarity.ivfAssign(col("n_v"), centroids))
       .withColumn("codes", encodePq(col("n_v"), codebooks))
+      .select(col("n_id"), col("bucket"), col("codes"))
+
+  /** IVF+PQ query path over a PERSISTED coded corpus ([[pqCodedCorpus]]):
+    * probe nprobe buckets, ADC-score candidates from codes alone, exact
+    * re-rank ONLY the refine*k shortlist via a broadcast join back to the
+    * float table. Identical output to the inline-encode form — the
+    * shortlist is a function of (codes, query) only. */
+  def ivfPqTopKFromCodes(coded: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         centroids: Array[Seq[Float]],
+                         codebooks: Array[Array[Array[Double]]],
+                         nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
     val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
     // probe list per query as an expression: sort struct(-cos, i)
     // ascending = cosine desc with ties to the LOWEST centroid id
@@ -438,11 +507,6 @@ object Quantization {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc",
         adcScore(col("codes"), col("qlut"), col("qn"), normLut, m, kk))
-    val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
-        Seq(("adc", true), ("n_id", false)), refine * k)
-      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
-    Relational.topKPerGroup(shortlist, Seq("q_id"),
-        Seq(("cosine", true), ("n_id", false)), k)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+    rerankShortlist(scored, corpus, idCol, vecCol, k, refine)
   }
 }

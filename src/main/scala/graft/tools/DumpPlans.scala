@@ -1,0 +1,49 @@
+package graft.tools
+
+/** Dump `.explain("formatted")` for bench entries to files.
+  *
+  * Usage: runMain graft.tools.DumpPlans <outDir> [entryCsv] [sfDir] [suffix]
+  *
+  * Writes `<outDir>/<entry>_<suffix>.txt` (suffix defaults to "before")
+  * holding the FORMATTED pre-execution plan plus, after one execution,
+  * the AQE-final executed plan — the round-19 optimization evidence
+  * files the judge reads (plans/r19/). Entries default to the full
+  * bench headline (group 1 + group 2).
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.length > 0) args(0) else "plans/r19"
+    val entries: Seq[String] =
+      if (args.length > 1 && args(1).nonEmpty && args(1) != "-")
+        args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.Bench.headline ++ graft.Bench.extended
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val suffix = if (args.length > 3) args(3) else "before"
+    val spark = graft.GraftSession.create("dump-plans")
+    new java.io.File(outDir).mkdirs()
+    val qs = graft.SparkEntry.queries
+    entries.foreach { name =>
+      try {
+        val df = qs(name)(spark, sfDir)
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        df.queryExecution.toRdd.count() // execute so AQE finalizes
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+          s"== explain(formatted), pre-execution (initial plan; AQE may " +
+            s"re-optimize) ==\n$formatted\n" +
+            s"== AQE-final executed plan (after one execution at $sfDir) ==\n" +
+            s"$finalPlan\n")
+        println(s"dumped $name")
+      } catch {
+        case e: Throwable => System.err.println(s"FAILED $name: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
