@@ -274,25 +274,32 @@ object PipelineEntries {
     }
   }
 
-  /** Plain (non-residual) PQ codebooks over the corpus vectors at
-    * ivfPqTopK's knobs (m=8, k=16, iters=3), persisted as `pq_codebooks`
-    * (s, j, cent: array<double>) and COLLECTED BACK from the written
-    * table — the [[residualCodebooks]] discipline: every value is
+  /** Plain (non-residual) PQ codebooks over the corpus vectors,
+    * persisted per (artifact name, iters) as `(s, j, cent:
+    * array<double>)` and COLLECTED BACK from the written table — the
+    * [[residualCodebooks]] discipline: every value is
     * float-representable (trainPq float-rounds means; init subvectors
     * are corpus floats), so the write/read round trip is bit-exact and
-    * the DuckDB oracle consumes literally the same parquet state. */
+    * the DuckDB oracle consumes literally the same parquet state.
+    * Two instances exist because two entries trained with different
+    * iteration counts long before the artifacts did: `pq_codebooks`
+    * (iters=3, ann_ivfpq_topk) and `pq_codebooks_i2` (iters=2,
+    * ann_pq_topk) — the artifact must reproduce each entry's historical
+    * values exactly. */
   private val pqCbMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Array[Double]]]]
-  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val key = s.sparkContext.applicationId + ":" + dir
+  private def pqCodebooksAt(s: SparkSession, dir: String,
+                            name: String, iters: Int): Array[Array[Array[Double]]] = {
+    val key = s.sparkContext.applicationId + ":" + dir + ":" + name
     val hit = pqCbMemo.get(key)
     if (hit != null) return hit
     artifactLock.synchronized {
       val again = pqCbMemo.get(key)
       if (again != null) return again
-      val cbDf = artifact(s, dir, "pq_codebooks") {
+      val cbDf = artifact(s, dir, name) {
         val trained = graft.operators.Quantization.trainPq(
-          embeddings(s, dir), "vec_id", "embedding", m = 8, k = 16)
+          embeddings(s, dir), "vec_id", "embedding", m = 8, k = 16,
+          iters = iters)
         import s.implicits._
         trained.zipWithIndex.flatMap { case (sub, si) =>
           sub.zipWithIndex.map { case (cw, j) => (si, j, cw.toSeq) }
@@ -308,6 +315,21 @@ object PipelineEntries {
       pqCbMemo.put(key, out)
       out
     }
+  }
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCodebooksAt(s, dir, "pq_codebooks", iters = 3)
+
+  /** Flat-PQ code table for ann_pq_topk — `(n_id, codes)` persisted once
+    * per corpus (`pq_codes`) from the iters=2 codebooks; the flat ADC
+    * scan reads this instead of re-encoding the corpus per query. */
+  private def pqCoded2(s: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val cb = pqCodebooksAt(s, dir, "pq_codebooks_i2", iters = 2)
+    val codes = artifact(s, dir, "pq_codes")(
+      embeddings(s, dir).select(col("vec_id").as("n_id"),
+        graft.operators.Quantization.encodePq(col("embedding"), cb)
+          .as("codes")))
+    (cb, codes)
   }
 
   /** IVF+PQ coded corpus — `(n_id, bucket, codes)` persisted once per
@@ -1025,14 +1047,16 @@ object PipelineEntries {
           col("bucket").cast(LongType).as("bucket"))
     }),
 
-    // PQ-ADC with exact re-rank; the deterministic Lloyd codebook
-    // training is unrolled in the oracle. Recall also pinned by tests.
+    // Flat PQ-ADC with exact re-rank over the PERSISTED code table
+    // ([[pqCoded2]]: iters=2 codebooks + pq_codes — round 19, the same
+    // prepare-once discipline as ann_ivfpq_topk). The oracle reads the
+    // identical persisted state and restates only the query-time path.
+    // Recall also pinned by tests.
     "ann_pq_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cb = graft.operators.Quantization.trainPq(e, "vec_id", "embedding",
-        m = 8, k = 16, iters = 2)
-      graft.operators.Quantization.pqTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, cb)
+      val (cb, codes) = pqCoded2(s, dir)
+      graft.operators.Quantization.pqTopKFromCodes(codes, e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cb)
     }),
 
     // IVF + PQ composed (the production ANN layout) over the PERSISTED
@@ -2771,52 +2795,16 @@ object PipelineEntries {
          WHERE rn <= 5"""
     },
 
-    // PQ-ADC restated end to end: subspace codebooks trained by the same
-    // unrolled Lloyd rounds (init = subvectors of the 16 lowest-id
-    // vectors; encode = squared-L2 argmin, ties -> lowest code; update =
-    // per-(subspace, code, dim) mean; empty cells keep their centroid),
-    // then ADC scoring sum_s dot[s][code_s] / (|q| sqrt(sum_s
-    // nrm[s][code_s])), refine*k=20 shortlist by (adc, n_id), exact
-    // float cosine re-rank top-5. Codebook means are cast to REAL on
-    // both sides (toFloat in Quantization.trainPq, CAST(avg AS REAL)
-    // here — the IVF centroid treatment): avg() associates partial sums
-    // differently per engine, and the means feed encodePq's squared-L2
-    // argmin and the ADC shortlist cutoff, where a ulp-level divergence
-    // could flip a code or shortlist member data-dependently.
-    "ann_pq_topk" -> {
-      // dsub = 64/8 = 8 dims per subspace; k = 16 codes; iters = 2
-      def encode(cb: String, name: String) =
-        s"""$name AS (SELECT vec_id, s, j AS code FROM (
-             SELECT sub.vec_id, sub.s, c.j,
-               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                 ORDER BY list_sum(list_transform(sub.subv, (a, i) ->
-                   (a - c.cent[i]) * (a - c.cent[i]))) ASC, c.j ASC) AS rn
-             FROM sub JOIN $cb c ON c.s = sub.s) WHERE rn = 1)"""
-      def update(asg: String, prev: String, un: String, cn: String) =
-        s"""$un AS (SELECT a.s, a.code, sx.pos,
-               CAST(CAST(avg(sx.val) AS REAL) AS DOUBLE) AS m
-             FROM $asg a
-             JOIN (SELECT vec_id, s, unnest(subv) AS val,
-                     generate_subscripts(subv, 1) AS pos FROM sub) sx
-               ON sx.vec_id = a.vec_id AND sx.s = a.s
-             GROUP BY 1, 2, 3),
-           $cn AS (SELECT c.s, c.j, CASE WHEN count(u.m) > 0
-               THEN list(u.m ORDER BY u.pos)
-               ELSE any_value(c.cent) END AS cent
-             FROM $prev c LEFT JOIN $un u ON u.s = c.s AND u.code = c.j
-             GROUP BY c.s, c.j)"""
+    // Flat PQ against the PERSISTED state (round 19): iters=2 codebooks
+    // (`pq_codebooks_i2`) + the code table (`pq_codes`) — the oracle
+    // restates only the query-time path (ADC over every code row,
+    // refine*k=20 shortlist, exact float-cosine re-rank).
+    "ann_pq_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         sub AS (SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS subv
-                 FROM e, range(8) t(s)),
-         cb0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j,
-                   subv AS cent
-                 FROM sub WHERE vec_id IN
-                   (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-         ${encode("cb0", "e1")},
-         ${update("e1", "cb0", "u1", "cb1")},
-         ${encode("cb1", "e2")},
-         ${update("e2", "cb1", "u2", "cb2")},
-         ${encode("cb2", "ef")},
+         cb2 AS (SELECT s, j, cent
+                 FROM '$ArtifactToken/pq_codebooks_i2/*.parquet'),
+         ef AS (SELECT n_id AS vec_id, t.s, codes[t.s + 1] AS code
+                FROM '$ArtifactToken/pq_codes/*.parquet', range(8) t(s)),
          nrm AS (SELECT s, j, list_sum(list_transform(cent, x -> x * x)) AS w
                  FROM cb2),
          q AS (SELECT vec_id AS q_id, v,
@@ -2847,14 +2835,8 @@ object PipelineEntries {
          SELECT q_id, n_id, round(cosine, 4) AS cosine FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
              ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
-         WHERE rn <= 5"""
-    },
+         WHERE rn <= 5""",
 
-    // IVF+PQ composed: the ann_ivf_topk centroid training (3 rounds,
-    // REAL-cast means) + the ann_pq_topk codebook training (3 rounds
-    // here — the entry uses trainPq defaults) + ADC over the probed
-    // buckets only. Probe ties here -> LOWEST bucket (the driver-side
-    // sortBy(-s, i)), unlike ann_ivf_topk's struct-sort.
     // IVF+PQ against the PERSISTED trained state (round 19 — the int8/
     // residual discipline): the oracle reads the same parquet the engine
     // collected its plan literals from (`ivf_centroids` — shared with

@@ -248,27 +248,35 @@ object Quantization {
     * formulation was bounded by. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
-             refine: Int = 4): DataFrame = {
+             refine: Int = 4): DataFrame =
+    pqTopKFromCodes(
+      corpus.select(col(idCol).as("n_id"),
+        encodePq(col(vecCol), codebooks).as("codes")),
+      corpus, queries, idCol, vecCol, k, codebooks, refine)
+
+  /** Flat PQ-ADC query path over a PERSISTED code table `(n_id, codes)`:
+    * ADC-score every code row (no coarse quantizer — the flat-scan PQ
+    * shape), exact re-rank of the refine*k shortlist via a broadcast
+    * join back to the float table. Identical output to the inline-encode
+    * form — the shortlist is a function of (codes, query) only. */
+  def pqTopKFromCodes(codes: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int,
+                      codebooks: Array[Array[Array[Double]]],
+                      refine: Int = 4): DataFrame = {
     val m = codebooks.length
     val kk = codebooks(0).length
-    val coded = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
-      encodePq(col(vecCol), codebooks).as("codes"))
     val normLut = typedlit(codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toSeq)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
       .withColumn("qlut", queryLut(col("q_v"), codebooks))
       .withColumn("qn", sqrt(aggregate(
         transform(col("q_v"), x => x.cast(DoubleType) * x.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)))
-    val scored = coded.crossJoin(broadcast(q))
+    val scored = codes.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc",
         adcScore(col("codes"), col("qlut"), col("qn"), normLut, m, kk))
-    val shortlist = Relational.topKPerGroup(scored, Seq("q_id"),
-        Seq(("adc", true), ("n_id", false)), refine * k)
-      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
-    Relational.topKPerGroup(shortlist, Seq("q_id"),
-        Seq(("cosine", true), ("n_id", false)), k)
-      .select(col("q_id"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+    rerankShortlist(scored, corpus, idCol, vecCol, k, refine)
   }
 
   /** IVF+PQ with RESIDUAL encoding — the production layout refinement
