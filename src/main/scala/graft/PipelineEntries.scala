@@ -84,9 +84,16 @@ object PipelineEntries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private val artifactLock = new Object
   /** Bump whenever the BUILD LOGIC of any artifact changes (edits to
-    * Dedup / Similarity / this file): the version is part of the on-disk
-    * path, so parquet written by an older build is never silently reused
-    * across JVMs — the gates would otherwise validate stale results. */
+    * Dedup / Similarity / Quantization / this file): the version is part
+    * of the on-disk path, so parquet written by an older build is never
+    * silently reused across JVMs — the gates would otherwise validate
+    * stale results. The derived-artifact CHAIN all rides this one
+    * version (residual_codes <- ivf_centroids + residual_codebooks;
+    * ivfpq_codes <- ivf_centroids + pq_codebooks; pq_codes <-
+    * pq_codebooks_i2; ivf_centroids_base <- ivfTrain), so an edit to
+    * trainPq / encodePq / ivfTrain / encode WITHOUT a bump silently
+    * reuses stale coded corpora that the oracle then "confirms" (it
+    * reads the same stale parquet) — advisor, round 19. */
   private[graft] val ArtifactVersion = 7
   private def artifactRoot(dir: String): String =
     s"target/prepared/pipeline/v$ArtifactVersion/" +
@@ -193,6 +200,41 @@ object PipelineEntries {
     artifact(s, dir, "shingle_df")(
       Dedup.shingleDocFreq(Dedup.repSignatures(docSigs(s, dir))._2))
 
+  /** Shared rep-collapse index over [[docSigs]] — three prepare-once
+    * artifacts (round 20) consumed by every rep-based set-overlap pass
+    * (blocked jaccard, stop-profile pairs, stop-profile families):
+    * `rep_map` (g, id, cnt), `rep_sigs` (id, hs), and `rep_inverted`
+    * (id, g, c) — the df-CLASSIFIED inverted index (rep-based df >= 2).
+    * Before round 20 each invocation re-derived all three per pass
+    * (a corpus aggregate + a join + an explode-join-persist); both the
+    * rare-candidate branch (c <= dfCap) and the stop-profile branch
+    * (c > dfCap) are now filters over the persisted classified index —
+    * the [[docShingleDf]]/[[docPairCounts]] discipline. Cap-agnostic:
+    * the operators apply their own dfCap filters, so blocked (cap 10)
+    * and the stop passes (cap 5) read the same three tables. */
+  private val repIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Dedup.RepIndex]
+  private def repIndex(s: SparkSession, dir: String): Dedup.RepIndex = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val hit = repIdxMemo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = repIdxMemo.get(key)
+      if (again != null) return again
+      val rep = artifact(s, dir, "rep_map")(
+        Dedup.repSignatures(docSigs(s, dir))._1)
+      val repSigs = artifact(s, dir, "rep_sigs")(
+        Dedup.repSignatures(docSigs(s, dir))._2)
+      val inverted = artifact(s, dir, "rep_inverted")(
+        repSigs.select(col("id"), explode(col("hs")).as("g"))
+          .join(docShingleDf(s, dir).filter(col("c") >= 2), Seq("g"))
+          .select(col("id"), col("g"), col("c")))
+      val v = Dedup.RepIndex(rep, repSigs, inverted)
+      repIdxMemo.put(key, v)
+      v
+    }
+  }
+
   /** IVF index (Lloyd-trained centroids + bucketed corpus) — index
     * TRAINING is prepare-phase work written once per corpus
     * (`ivf_centroids`, `ivf_buckets`); the per-query cost is nprobe
@@ -235,6 +277,40 @@ object PipelineEntries {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetNanos.read(s, s"$dir/embeddings.parquet")
 
+  /** IVF centroids trained on ann_ivf_increment's BASE slice
+    * (vec_id % 10 >= 2) — prepare-phase artifact (`ivf_centroids_base`,
+    * round 20): the increment entry previously re-ran the full Lloyd
+    * training (init collect + 3 rounds, a driver aggregate+collect per
+    * round) on EVERY invocation; the nightly-append query path only
+    * ASSIGNS the increment to the existing centroids. Same
+    * write/collect-back discipline as [[ivfIndex]]: every value is
+    * float-representable (float-rounded Lloyd means; init vectors are
+    * corpus floats), so the parquet round trip is bit-exact and the
+    * DuckDB oracle reads literally the same trained state. */
+  private val ivfBaseMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Seq[Float]]]
+  private def ivfBaseCentroids(s: SparkSession, dir: String): Array[Seq[Float]] = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    val hit = ivfBaseMemo.get(key)
+    if (hit != null) return hit
+    artifactLock.synchronized {
+      val again = ivfBaseMemo.get(key)
+      if (again != null) return again
+      val centDf = artifact(s, dir, "ivf_centroids_base") {
+        val trained = Similarity.ivfTrain(
+          embeddings(s, dir).filter(pmod(col("vec_id"), lit(10)) >= 2),
+          "vec_id", "embedding", nlist = 16, iters = 3)
+        import s.implicits._
+        trained.toSeq.zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("bucket", "centroid")
+      }
+      val cent: Array[Seq[Float]] = centDf.orderBy(col("bucket"))
+        .select(col("centroid")).collect().map(_.getSeq[Float](0))
+      ivfBaseMemo.put(key, cent)
+      cent
+    }
+  }
+
   /** Residual-PQ codebooks over the [[ivfIndex]] centroids (the FAISS
     * IndexIVFPQ trained state), persisted as `residual_codebooks`
     * (s, j, cent: array<double>) and COLLECTED BACK from the written
@@ -265,6 +341,11 @@ object PipelineEntries {
       val rows = cbDf.collect()
       val m = rows.map(_.getInt(0)).max + 1
       val kk = rows.map(_.getInt(1)).max + 1
+      // completeness: a truncated/partial artifact read would otherwise
+      // leave null cells surfacing as an opaque NPE far from the cause
+      // (advisor, round 19)
+      require(rows.length == m * kk,
+        s"residual_codebooks incomplete: ${rows.length} rows for ${m}x$kk")
       val out = Array.ofDim[Array[Double]](m, kk)
       rows.foreach { r =>
         out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
@@ -308,6 +389,11 @@ object PipelineEntries {
       val rows = cbDf.collect()
       val m = rows.map(_.getInt(0)).max + 1
       val kk = rows.map(_.getInt(1)).max + 1
+      // completeness: a truncated/partial artifact read would otherwise
+      // leave null cells surfacing as an opaque NPE far from the cause
+      // (advisor, round 19)
+      require(rows.length == m * kk,
+        s"$name incomplete: ${rows.length} rows for ${m}x$kk")
       val out = Array.ofDim[Array[Double]](m, kk)
       rows.foreach { r =>
         out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
@@ -803,7 +889,8 @@ object PipelineEntries {
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.ngramJaccardPairsBlockedFromSigs(docSigs(s, dir),
         threshold = 0.3, dfCap = 10,
-        docFreq = Some(docShingleDf(s, dir)))),
+        docFreq = Some(docShingleDf(s, dir)),
+        index = Some(repIndex(s, dir)))),
 
     // the df-cap's measured honest boundary (round-17 hot-shingle rung):
     // pairs whose similarity lives ONLY on above-cap shingles — the
@@ -821,7 +908,8 @@ object PipelineEntries {
     "dedup_stop_profile" -> ((s, dir) =>
       Dedup.stopProfilePairsFromSigs(docSigs(s, dir),
         threshold = 0.3, dfCap = 5,
-        docFreq = Some(docShingleDf(s, dir)), bucketCap = 1000)),
+        docFreq = Some(docShingleDf(s, dir)), bucketCap = 1000,
+        index = Some(repIndex(s, dir)))),
 
     // the family-level product the stop-profile pass's scale contract
     // prescribes for above-bucketCap boilerplate families (their pair
@@ -831,7 +919,8 @@ object PipelineEntries {
     // basis and shared shingle_df artifact as dedup_stop_profile.
     "dedup_stop_profile_families" -> ((s, dir) =>
       Dedup.stopProfileFamilies(docSigs(s, dir), dfCap = 5,
-        docFreq = Some(docShingleDf(s, dir)))),
+        docFreq = Some(docShingleDf(s, dir)),
+        index = Some(repIndex(s, dir)))),
 
     // exact sliding-window substring dup at arbitrary alignment —
     // catches cross-offset spans that dedup_chunks' aligned chunks miss
@@ -1034,15 +1123,15 @@ object PipelineEntries {
     // is assigned to the EXISTING centroids — no retraining, no base
     // re-scan; at scale this is the nightly index append (assignments
     // append to the bucketed layout, centroids drift-checked offline).
-    // Training on the base slice is deterministic, so the oracle
-    // unrolls it and replays the assignment.
+    // The base-slice training is a prepare-once artifact since round 20
+    // ([[ivfBaseCentroids]]); the query path scans ONLY the increment
+    // slice and assigns it — the oracle reads the identical persisted
+    // centroids and replays the assignment.
     "ann_ivf_increment" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val base = e.filter(pmod(col("vec_id"), lit(10)) >= 2)
       val increment = e.filter(pmod(col("vec_id"), lit(10)) < 2)
-      val cent = Similarity.ivfTrain(base, "vec_id", "embedding",
-        nlist = 16, iters = 3)
-      Similarity.ivfBucketedCorpus(increment, "vec_id", "embedding", cent)
+      Similarity.ivfBucketedCorpus(increment, "vec_id", "embedding",
+          ivfBaseCentroids(s, dir))
         .select(col("n_id").as("vec_id"),
           col("bucket").cast(LongType).as("bucket"))
     }),
@@ -2973,42 +3062,25 @@ object PipelineEntries {
              ORDER BY cosine DESC, n_id ASC) AS rn FROM scored)
          WHERE rn <= 5""",
 
-    // IVF training unrolled over the BASE slice only, then the
-    // increment assigned to the final centroids (ties -> lowest bucket,
-    // like every ivfAssign)
-    "ann_ivf_increment" -> {
-      def assign(cents: String, name: String, src: String = "e") =
-        s"""$name AS (SELECT vec_id, b FROM (
+    // increment assignment against the PERSISTED base-slice centroids
+    // (round 20 — the `ivf_centroids` discipline): the oracle reads the
+    // same `ivf_centroids_base` parquet the engine collected its plan
+    // literals from and restates only the query-time path — nearest-
+    // centroid assignment of the increment slice (ties -> lowest bucket,
+    // like every ivfAssign). Training is no longer unrolled here — it
+    // happened once, into the artifact both sides read.
+    "ann_ivf_increment" ->
+      s"""WITH inc AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 10 < 2),
+         cent AS (SELECT bucket AS b, centroid::DOUBLE[] AS cent
+                FROM '$ArtifactToken/ivf_centroids_base/*.parquet'),
+         af AS (SELECT vec_id, b FROM (
              SELECT e.vec_id, c.b,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
                    c.b ASC) AS rn
-             FROM $src e CROSS JOIN $cents c) WHERE rn = 1)"""
-      def update(asg: String, prev: String, un: String, cn: String) =
-        s"""$un AS (SELECT a.b, x.pos,
-               CAST(CAST(avg(x.val) AS REAL) AS DOUBLE) AS m
-             FROM $asg a JOIN x USING (vec_id) GROUP BY 1, 2),
-           $cn AS (SELECT c.b, CASE WHEN count(u.m) > 0
-               THEN list(u.m ORDER BY u.pos)
-               ELSE any_value(c.cent) END AS cent
-             FROM $prev c LEFT JOIN $un u ON c.b = u.b GROUP BY c.b)"""
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 10 >= 2),
-         inc AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 10 < 2),
-         x AS (SELECT vec_id, unnest(v) AS val,
-                 generate_subscripts(v, 1) AS pos FROM e),
-         c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS b, v AS cent
-                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-         ${assign("c0", "a1")},
-         ${update("a1", "c0", "u1", "c1")},
-         ${assign("c1", "a2")},
-         ${update("a2", "c1", "u2", "c2")},
-         ${assign("c2", "a3")},
-         ${update("a3", "c2", "u3", "c3")},
-         ${assign("c3", "af", "inc")}
-         SELECT vec_id, CAST(b AS BIGINT) AS bucket FROM af"""
-    },
+             FROM inc e CROSS JOIN cent c) WHERE rn = 1)
+         SELECT vec_id, CAST(b AS BIGINT) AS bucket FROM af""",
 
     // identical funnel to dedup_incremental: the streaming run must
     // reproduce the one-shot batch incremental join exactly

@@ -779,10 +779,48 @@ object Dedup {
     (rep, repSigs)
   }
 
+  /** Prepare-once state shared by every rep-based set-overlap pass
+    * (blocked jaccard, stop-profile pairs, stop-profile families):
+    *  - `rep`      (g, id, cnt): one representative (min id) + member
+    *                count per exact-text group ([[repSignatures]]._1);
+    *  - `repSigs`  (id, hs): signatures restricted to representatives;
+    *  - `inverted` (id, g, c): the df-CLASSIFIED inverted index over
+    *                representatives — one row per (rep doc, shingle)
+    *                with the shingle's rep-based document frequency,
+    *                df=1 shingles dropped (they can never be shared).
+    * Before round 20 each invocation re-derived all three (a corpus
+    * aggregate, a join, and an explode+join+persist per pass); callers
+    * running more than once per corpus should build this once via
+    * [[repIndexFromSigs]], persist/write it, and pass it in — the same
+    * prepare-once discipline as [[shingleDocFreq]]. Both the rare-
+    * candidate branch (c <= dfCap) and the stop-profile branch
+    * (c > dfCap) are filters over `inverted`, so the previous
+    * broadcast-the-stop-vocab join disappears entirely: the profile
+    * aggregation reads pre-classified (id, g, c) rows with no join to
+    * skew (the round-18 1M-family measurement motivated the broadcast;
+    * a filter over the classified index is strictly better — per-doc
+    * parallel with zero exchanges before the per-id aggregation). */
+  case class RepIndex(rep: DataFrame, repSigs: DataFrame, inverted: DataFrame)
+
+  /** Build a [[RepIndex]] from a signature table (pooled persists —
+    * prepare-once callers should write the three tables to parquet and
+    * re-wrap them instead). `docFreq` is the rep-based [[shingleDocFreq]]
+    * table when the caller already has it as an artifact. */
+  def repIndexFromSigs(sigs: DataFrame,
+                       docFreq: Option[DataFrame] = None): RepIndex = {
+    val (rep, repSigs) = repSignatures(withSetDigest(sigs))
+    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
+    val inv = repSigs.select(col("id"), explode(col("hs")).as("g"))
+    val inverted = pooledPersist(inv.join(dfc.filter(col("c") >= 2), Seq("g"))
+      .select(col("id"), col("g"), col("c")))
+    RepIndex(rep, repSigs, inverted)
+  }
+
   def ngramJaccardPairsBlockedFromSigs(sigs: DataFrame,
                                        threshold: Double = 0.3,
                                        dfCap: Int = 50,
-                                       docFreq: Option[DataFrame] = None): DataFrame = {
+                                       docFreq: Option[DataFrame] = None,
+                                       index: Option[RepIndex] = None): DataFrame = {
     // ---- exact-replica pre-pass (always on) ---------------------------
     // The df basis AND the candidate universe are the exact-text
     // representatives (min id per text digest): replicas inflate every
@@ -801,31 +839,23 @@ object Dedup {
     // make the pair set depend on corpus statistics — and the oracle
     // restates the same rep-based contract verbatim.
     val withG = withSetDigest(sigs)
-    val (rep, repSigs) = repSignatures(withG)
+    val idx = index.getOrElse {
+      // |vocab|-sized df; BOTH the rare-candidate filter and the stop-
+      // shingle profile consume it. Fallback df is over repSigs,
+      // matching the documented rep-df contract above and the
+      // stop-profile passes — df over raw sigs would count replicas,
+      // and on a replica-heavy corpus every shingle would blow the cap
+      // (candidate-set collapse) while the supplied-artifact path
+      // stayed rep-based (advisor, round 18). The classified inverted
+      // index joins df ONCE keeping c; an explicit persist (inside
+      // [[repIndexFromSigs]]) makes the two-branch sharing real and
+      // gives AQE exact build-side stats — the exchange-reuse the naive
+      // formulation bets on does not materialize under AQE.
+      repIndexFromSigs(withG, docFreq)
+    }
+    val (rep, repSigs, invC) = (idx.rep, idx.repSigs, idx.inverted)
     val members = withG.select(col("g"), col("id"))
-
     val hs = repSigs.select(col("id"), col("hs"))
-    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    // |vocab|-sized; BOTH the rare-candidate filter and the stop-shingle
-    // profile consume it — one corpus-scale aggregation pass instead of
-    // two. Either supplied by the caller as a prepare-once artifact
-    // ([[shingleDocFreq]]) or persisted here per invocation (pooled,
-    // reclaimed by [[releaseIntermediates]]). Fallback df is over
-    // repSigs, matching the documented rep-df contract above and the
-    // stop-profile passes — df over raw sigs would count replicas, and
-    // on a replica-heavy corpus every shingle would blow the cap
-    // (candidate-set collapse) while the supplied-artifact path stayed
-    // rep-based (advisor, round 18).
-    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
-    // ONE classified inverted-index pass: join the df table once keeping
-    // c (df=1 shingles can never be shared — dropped here), persist, and
-    // derive BOTH the rare-candidate branch and the stop-profile branch
-    // as filters over it. The exchange-reuse the naive formulation bets
-    // on does not materialize under AQE (each self-join side rebuilds
-    // explode+join+exchange); an explicit persist makes the sharing real
-    // and gives AQE exact build-side stats.
-    val invC = pooledPersist(inv.join(dfc.filter(col("c") >= 2), Seq("g"))
-      .select(col("id"), col("g"), col("c")))
     val invR = invC.filter(col("c") <= dfCap).select(col("id"), col("g"))
     // candidate pairs: rare-shingle inverted-index self-join + pair-count
     // aggregation. shuffle_hash hinted: the build side is one partition
@@ -935,30 +965,27 @@ object Dedup {
                                threshold: Double = 0.3,
                                dfCap: Int = 50,
                                docFreq: Option[DataFrame] = None,
-                               bucketCap: Int = 1000): DataFrame = {
+                               bucketCap: Int = 1000,
+                               index: Option[RepIndex] = None): DataFrame = {
     val withG = withSetDigest(sigs)
-    val (rep, repSigs) = repSignatures(withG)
+    // df over representatives (the blocked contract's basis); callers
+    // with prepare-once artifacts pass the [[RepIndex]] (or at least
+    // the [[shingleDocFreq]] table) in
+    val idx = index.getOrElse(repIndexFromSigs(withG, docFreq))
+    val (rep, repSigs) = (idx.rep, idx.repSigs)
     val members = withG.select(col("g"), col("id"))
     val hs = repSigs.select(col("id"), col("hs"))
-    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    // df over representatives (the blocked contract's basis); callers
-    // with a prepare-once [[shingleDocFreq]] artifact pass it in
-    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
     // per-rep stop profile: the SORTED array of this doc's above-cap
-    // shingle hashes (inner join ⇒ only docs with a non-empty profile
-    // survive; stop vocab is tiny by construction, so profiles are
-    // small arrays). Digest to a compact join key.
-    // BROADCAST the stop vocab, never shuffle on g: above-cap shingles
-    // are FEW by definition (the Zipf head; vocab <= occurrences/dfCap,
-    // 8 bytes each) while their posting lists are the corpus's LARGEST —
-    // a shuffle_hash join here keys tens of millions of inv rows onto a
-    // handful of g values and drags the per-id partial aggregation into
-    // the skewed post-shuffle stage (measured: 80 s max task at a
-    // 1M-member family, ProbeStopFamilies round-18; broadcast keeps the
-    // whole pass per-doc-parallel).
-    val stops = inv
-      .join(broadcast(dfc.filter(col("c") > dfCap).select(col("g"))),
-        Seq("g"))
+    // shingle hashes — a FILTER over the df-classified inverted index
+    // (inner semantics ⇒ only docs with a non-empty profile survive;
+    // stop vocab is tiny by construction, so profiles are small
+    // arrays). Digest to a compact join key. No join at all before the
+    // per-id aggregation: the pre-round-20 broadcast-the-stop-vocab
+    // join (itself the fix for the measured 80 s g-shuffle skew at a
+    // 1M-member family, ProbeStopFamilies round-18) is subsumed by the
+    // classified index — c rides every (id, g) row, so the profile
+    // pass is per-doc parallel with zero exchanges before groupBy(id).
+    val stops = idx.inverted.filter(col("c") > dfCap)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("g"))).as("stop"))
     val keyed = pooledPersist(stops.select(col("id"),
@@ -1016,25 +1043,23 @@ object Dedup {
     * parallel after the stop-vocab broadcast. */
   def stopProfileFamilies(sigs: DataFrame,
                           dfCap: Int = 50,
-                          docFreq: Option[DataFrame] = None): DataFrame = {
+                          docFreq: Option[DataFrame] = None,
+                          index: Option[RepIndex] = None): DataFrame = {
     val withG = withSetDigest(sigs)
-    val (rep, repSigs) = repSignatures(withG)
-    val hs = repSigs.select(col("id"), col("hs"))
-    val inv = hs.select(col("id"), explode(col("hs")).as("g"))
-    val dfc = docFreq.getOrElse(pooledPersist(shingleDocFreq(repSigs)))
+    val idx = index.getOrElse(repIndexFromSigs(withG, docFreq))
+    val rep = idx.rep
     // per-rep stop profile, digested — same construction as the pair
     // pass (a digest collision here would merge two families, P ~ 2^-128
     // over md5 of the canonical sorted profile — the same w.h.p.
     // injectivity the hashed-shingle profiles already rely on).
-    // Stop vocab BROADCAST, never shuffled on g — see the pair pass:
-    // the vocab is the Zipf head (few rows) while its posting lists are
-    // the corpus's largest, so a g-keyed shuffle concentrates them plus
-    // the per-id partial agg into a handful of tasks (measured at a
-    // 1M-member family: 148.9 s wall / 80.5 s max task with the
-    // g-shuffle, 8.8 s / 2.1 s with the broadcast).
-    val stops = inv
-      .join(broadcast(dfc.filter(col("c") > dfCap).select(col("g"))),
-        Seq("g"))
+    // A FILTER over the df-classified inverted index — no join before
+    // the per-id aggregation at all. (History: a g-keyed shuffle join
+    // of the stop vocab measured 148.9 s wall / 80.5 s max task at a
+    // 1M-member family; the round-18 fix broadcast the vocab, 8.8 s /
+    // 2.1 s; the classified index subsumes the broadcast too — c rides
+    // every (id, g) row, so the pass is per-doc parallel with zero
+    // pre-aggregation exchanges.)
+    val stops = idx.inverted.filter(col("c") > dfCap)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("g"))).as("stop"))
     val keyed = stops.select(col("id").as("rid"),

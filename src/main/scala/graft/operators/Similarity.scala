@@ -49,11 +49,14 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(col("q_v"), col("n_v")))
-    Relational.topKPerGroup(scored, Seq("q_id"),
-        Seq(("cosine", true), ("n_id", false)), k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("n_id").asc)))
+    // ONE window: rank = the same row_number the top-k filter ranks on
+    // ((cosine desc, n_id asc) is a total order — n_id is unique per
+    // q_id group), so re-deriving it with a second window over the
+    // k survivors (the pre-round-20 form) produced identical values
+    // while paying an extra sort+window operator per invocation.
+    Relational.rankInGroups(scored, Seq("q_id"),
+        Seq(("cosine", true), ("n_id", false)), "rank")
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("cosine"), 4).as("cosine"))
   }

@@ -6,13 +6,17 @@ package graft.tools
   *
   * Writes `<outDir>/<entry>_<suffix>.txt` (suffix defaults to "before")
   * holding the FORMATTED pre-execution plan plus, after one execution,
-  * the AQE-final executed plan — the round-19 optimization evidence
-  * files the judge reads (plans/r19/). Entries default to the full
-  * bench headline (group 1 + group 2).
+  * the AQE-final executed plan — the per-round optimization evidence
+  * files the judge reads (plans/rNN/). Entries default to the full
+  * bench headline (group 1 + group 2). outDir is REQUIRED (round-19
+  * judge: a hardcoded default round dir would silently overwrite the
+  * previous round's committed evidence).
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.length > 0) args(0) else "plans/r19"
+    require(args.nonEmpty,
+      "usage: DumpPlans <outDir> [entryCsv] [sfDir] [suffix]")
+    val outDir = args(0)
     val entries: Seq[String] =
       if (args.length > 1 && args(1).nonEmpty && args(1) != "-")
         args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -167,6 +167,38 @@ class JaccardSpec extends SparkSpec {
       assert(!Dedup.autoStage(sigs))
   }
 
+  test("supplied RepIndex == self-derived for blocked, stop-profile and families (round-20 pin)") {
+    // round 20 moved the rep collapse + df-classified inverted index to
+    // prepare-once artifacts; a supplied index must be a pure
+    // materialization choice — identical pair/family sets, identical
+    // jaccard values. Fixture: the adversarial mix from the recovery
+    // test (boilerplate family + replica + rare pair + hot bucket).
+    def uniq(id: Long, k: Int): Seq[Long] = (0 until k).map(j => id * 64 + j + 100000L)
+    val boiler = (100L to 105L).map(id => (id, (1L to 30L) ++ uniq(id, 2)))
+    val replica = Seq((106L, (1L to 30L) ++ uniq(105L, 2)))
+    val rare = Seq(
+      (200L, (900L to 934L) ++ uniq(200L, 5)),
+      (201L, (900L to 934L) ++ uniq(201L, 5)))
+    val hot = (300L to 311L).map(id => (id, Seq(50L) ++ uniq(id, 40)))
+    val sigs = (boiler ++ replica ++ rare ++ hot).toDF("id", "hs")
+    val idx = Dedup.repIndexFromSigs(sigs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Dedup.ngramJaccardPairsBlockedFromSigs(sigs,
+        threshold = 0.3, dfCap = 3, index = Some(idx)))
+      === rows(Dedup.ngramJaccardPairsBlockedFromSigs(sigs,
+        threshold = 0.3, dfCap = 3)))
+    assert(rows(Dedup.stopProfilePairsFromSigs(sigs,
+        threshold = 0.3, dfCap = 3, bucketCap = 10, index = Some(idx)))
+      === rows(Dedup.stopProfilePairsFromSigs(sigs,
+        threshold = 0.3, dfCap = 3, bucketCap = 10)))
+    def famRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(famRows(Dedup.stopProfileFamilies(sigs, dfCap = 3,
+        index = Some(idx)))
+      === famRows(Dedup.stopProfileFamilies(sigs, dfCap = 3)))
+  }
+
   test("signatures + FromSigs variants equal the text-based operators") {
     val docs = graft.sources.ParquetNanos.read(spark, s"$sfDir/documents.parquet")
     val sigs = Dedup.signatures(docs, "doc_id", "text", 3)

@@ -85,6 +85,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall: $recall")
   }
 
+  test("bruteForceTopK fused rank == two-window re-rank (round-20 pin)") {
+    // round 20 fused the second row_number window (rank over the k
+    // survivors) into the top-k filter's own window: (cosine desc,
+    // n_id asc) is a total order, so the survivor re-rank must equal
+    // the original rank. Pin the fused operator against the two-window
+    // formulation it replaced.
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val fused = Similarity.bruteForceTopK(embeddings, queries,
+      "vec_id", "embedding", k = 5)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_v"), col("n_v")))
+    val twoWindow = graft.operators.Relational.topKPerGroup(scored,
+        Seq("q_id"), Seq(("cosine", true), ("n_id", false)), 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("n_id").asc)))
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 4).as("cosine"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(fused) == rows(twoWindow))
+  }
+
   test("residual IVF-PQ: recall at production knobs; deterministic; no regression vs plain") {
     val queries = embeddings.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(embeddings, queries,

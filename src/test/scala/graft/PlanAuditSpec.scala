@@ -723,15 +723,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(vacuous.isEmpty, s"tokenizer inside Filter:\n${vacuous.mkString("\n").take(2000)}")
   }
 
-  test("stop-profile passes broadcast the stop vocab, never shuffle on the Zipf-head key") {
+  test("stop-profile passes derive profiles join-free: no join on the Zipf-head key at all") {
     // round-18 1M-family rung: a g-keyed shuffle of the above-cap
     // posting lists funneled 30M+ inv rows onto ~30 Zipf-head keys and
     // dragged the per-id partial agg into the skewed stage (148.9 s /
-    // 80.5 s max task; 8.8 s / 2.1 s after the broadcast). The vocab
-    // join key is the LONG shingle hash `g` (the set-digest join also
-    // uses a column named g, but STRING-typed — the type disambiguates).
-    // Static plan carries the strategy decision (round-12 lesson: walk
-    // join nodes, never grep sparkPlan for exchanges).
+    // 80.5 s max task; 8.8 s / 2.1 s after broadcasting the vocab).
+    // Round 20 subsumed the broadcast too: the stop profile is a FILTER
+    // (c > dfCap) over the persisted df-CLASSIFIED inverted index
+    // (rep_inverted: id, g, c), so no join of ANY strategy touches the
+    // LONG shingle key `g` before the per-id aggregation (the set-digest
+    // join also uses a column named g, but STRING-typed — the type
+    // disambiguates; the blocked entry's rare-candidate self-join is a
+    // different entry). Static plan carries the strategy decision
+    // (round-12 lesson: walk join nodes, never grep sparkPlan).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
@@ -739,9 +743,9 @@ class PlanAuditSpec extends SparkSpec {
     def longG(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       keys.size == 1 && keys.head.dataType == LongType &&
         keys.head.references.exists(_.name == "g")
-    // the vocab join sits under pooledPersist intermediates, so it hides
-    // inside InMemoryRelation subtrees — recurse through cachedPlan or
-    // the walk is vacuous (the round-12 lesson's cached-relation variant)
+    // intermediates sit under pooledPersist, so joins hide inside
+    // InMemoryRelation subtrees — recurse through cachedPlan or the
+    // walk is vacuous (the round-12 lesson's cached-relation variant)
     def nodes(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(nodes)) ++ (p match {
         case i: InMemoryTableScanExec => nodes(i.relation.cachedPlan)
@@ -752,17 +756,26 @@ class PlanAuditSpec extends SparkSpec {
         case _ => Nil
       })
     for (q <- Seq("dedup_stop_profile", "dedup_stop_profile_families")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
-      val all = nodes(plan)
-      val broadcastG = all.collect {
-        case b: BroadcastHashJoinExec if longG(b.leftKeys) => b }
-      assert(broadcastG.nonEmpty,
-        s"$q: no broadcast join on the long shingle key g —\n$plan")
-      val shuffledG = all.collect {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val all = nodes(qe.sparkPlan)
+      val gJoins = all.collect {
+        case b: BroadcastHashJoinExec if longG(b.leftKeys) => b
         case s: ShuffledHashJoinExec if longG(s.leftKeys) => s
         case s: SortMergeJoinExec if longG(s.leftKeys) => s }
-      assert(shuffledG.isEmpty,
-        s"$q: the stop-vocab join regressed to a g-keyed shuffle —\n$plan")
+      assert(gJoins.isEmpty,
+        s"$q: a join re-appeared on the long shingle key g (the stop " +
+          s"profile must be a filter over the classified index) —\n" +
+          gJoins.mkString("\n"))
+      // positive evidence of the new shape: the pass reads the persisted
+      // classified inverted index, not a per-invocation rebuild
+      // (plan.toString truncates scan locations — inspect the scans)
+      val scanPaths = all.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scanPaths.exists(_.contains("rep_inverted")),
+        s"$q: no scan of the rep_inverted artifact — scans:\n" +
+          scanPaths.mkString("\n"))
     }
   }
 }
