@@ -54,6 +54,18 @@ object GraftSession {
       // scale tables are many >=128 MB files and the default is right —
       // this is a local-fixture setting, not a scale recommendation.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // Runtime Bloom-filter join pruning keeps the STOCK gates
+      // (injection on; application-side scan >= 10 GiB, creation side
+      // <= 10 MB) — a DELIBERATE measured negative, round 20. Four
+      // ProbeTpchBloom sittings at the 100x fixture with the gates
+      // dropped (tpch_bloom_sf10_r20*.json): the filter injects into
+      // tpch_q5/q10/q21 with identical row counts, but only q5 wins
+      // repeatably (~20-32%); q10 loses 10-20% every sitting (bloom
+      // build + probe overhead exceeds the pruning) and q21 flips sign
+      // with box noise. A gate low enough to fire at sf10 (the pruned
+      // scan estimate is ~100 MB, not the 354 MB file) would take the
+      // q10 loss everywhere to win on one query; at >= 10 GiB scans —
+      // real 100 TB partitions — the stock gate fires on its own.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // root log level from context START (setLogLevel only applies
