@@ -20,7 +20,28 @@ object ProbeStreamJoin {
       .split(",").map(_.trim.toInt).toSeq
     val spark = graft.GraftSession.create("probe-stream-join")
     spark.sparkContext.setLogLevel("WARN")
-    val schema = graft.sources.ParquetNanos.read(spark, s"$sfDir/events.parquet").schema
+    // Stage the single-file fixture into a directory exactly like the
+    // entry's eventsStream helper (file-stream sources require a dir)
+    // and mirror its nanos-vs-micros ts handling: the raw file is
+    // copied verbatim, so a TIMESTAMP(NANOS) fixture streams ts as
+    // LongType nanos converted post-read.
+    import org.apache.spark.sql.types._
+    val tsNanos = graft.sources.ParquetNanos
+      .nanosFields(spark, s"$sfDir/events.parquet").contains("ts")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsNanos) LongType else TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name0 = new java.io.File(sfDir).getName
+    val streamDir = new java.io.File(s"/root/repo/target/tmp/events_stream_$name0")
+    if (!new java.io.File(streamDir, "events.parquet").exists()) {
+      streamDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$streamDir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
     parts.foreach { p =>
       // stateful streaming disables AQE, so shuffle.partitions IS the
@@ -29,7 +50,8 @@ object ProbeStreamJoin {
       // keyWithIndexToValue)
       spark.conf.set("spark.sql.shuffle.partitions", p)
       val ev = graft.streaming.StreamOps.parquetStream(
-        spark, s"$sfDir/events.parquet", schema)
+        spark, streamDir.toString, schema,
+        nanosCols = if (tsNanos) Set("ts") else Set.empty)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
       val clicks = ev.filter(col("event_type") === "click")
